@@ -1,0 +1,53 @@
+"""Attention kernel dispatch.
+
+Replaces the reference's F.scaled_dot_product_attention / xformers
+(pdm/models/unet/blocks.py:275-277, pdm/training/trainer.py:163-175) with
+TPU-native paths:
+
+- ``xla``: einsum attention, letting XLA fuse; fp32 softmax when upcast
+  (SD-2.1 sets upcast_attention=True).
+- ``flash``: Pallas fused flash-attention kernel (ops/flash_attention.py)
+  for the long self-attention sequences (4096 tokens at 512px).
+
+The interface is BLHD (batch, length, heads, head_dim).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+_FLASH_MIN_SEQ = 512  # below this, XLA's fused softmax path is already fine
+
+
+def _xla_attention(q, k, v, upcast: bool):
+    scale = 1.0 / (q.shape[-1] ** 0.5)
+    dt = jnp.float32 if upcast else q.dtype
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q.astype(dt), k.astype(dt)) * scale
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(dt)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs, v.astype(dt))
+    return out.astype(v.dtype)
+
+
+@functools.partial(jax.named_call, name="attention")
+def dot_product_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    upcast: bool = False,
+    use_memory_efficient: bool = True,
+) -> jnp.ndarray:
+    """[B, Lq, H, D] x [B, Lk, H, D] -> [B, Lq, H, D]."""
+    if (
+        use_memory_efficient
+        and not upcast
+        and q.shape[1] >= _FLASH_MIN_SEQ
+        and q.shape[1] == k.shape[1]
+        and q.shape[-1] in (64, 128)
+        and jax.default_backend() == "tpu"
+    ):
+        from .flash_attention import flash_attention
+
+        return flash_attention(q, k, v)
+    return _xla_attention(q, k, v, upcast)

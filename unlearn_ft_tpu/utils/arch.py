@@ -179,8 +179,8 @@ class GateLayout:
 # unet_2d_conditional.py:90-342 / 382-624).
 # --------------------------------------------------------------------------
 
-def _resnet(depth: int) -> SubmoduleGates:
-    return SubmoduleGates("resnet", (32,), depth)
+def _resnet(depth: int, groups: int = 32) -> SubmoduleGates:
+    return SubmoduleGates("resnet", (groups,), depth)
 
 
 def _transformer(heads: int, depth: int, gated_ff: bool, ff_gate_width: int) -> SubmoduleGates:
@@ -194,23 +194,24 @@ def _block_gates(
     heads: int,
     gated_ff: bool,
     ff_gate_width: int,
+    resnet_groups: int = 32,
 ) -> BlockGates:
     subs: List[SubmoduleGates] = []
     bt = block_type
     if bt in ("CrossAttnDownBlock2DHalfGated", "CrossAttnUpBlock2DHalfGated"):
-        subs += [_resnet(0)] * (num_layers - 1) + [_resnet(1)]
+        subs += [_resnet(0, resnet_groups)] * (num_layers - 1) + [_resnet(1, resnet_groups)]
         subs += [_transformer(heads, 0, gated_ff, ff_gate_width)] * (num_layers - 1)
         subs += [_transformer(heads, 1, gated_ff, ff_gate_width)]
     elif bt in ("CrossAttnDownBlock2DGated", "CrossAttnUpBlock2DGated"):
-        subs += [_resnet(1)] * num_layers
+        subs += [_resnet(1, resnet_groups)] * num_layers
         subs += [_transformer(heads, 1, gated_ff, ff_gate_width)] * num_layers
     elif bt in ("DownBlock2DHalfGated", "UpBlock2DHalfGated"):
-        subs += [_resnet(0)] * (num_layers - 1) + [_resnet(1)]
+        subs += [_resnet(0, resnet_groups)] * (num_layers - 1) + [_resnet(1, resnet_groups)]
     elif bt in ("DownBlock2DGated", "UpBlock2DGated"):
-        subs += [_resnet(1)] * num_layers
+        subs += [_resnet(1, resnet_groups)] * num_layers
     elif bt == "UNetMidBlock2DCrossAttnWidthGated":
         # mid: num_layers(=1)+1 resnets then num_layers attentions, width-only
-        subs += [_resnet(0)] * (num_layers + 1)
+        subs += [_resnet(0, resnet_groups)] * (num_layers + 1)
         subs += [_transformer(heads, 0, gated_ff, ff_gate_width)] * num_layers
     elif bt in ("DownBlock2D", "UpBlock2D", "CrossAttnDownBlock2D", "CrossAttnUpBlock2D",
                 "UNetMidBlock2DCrossAttn"):
@@ -228,6 +229,7 @@ def unet_gate_layout(
     layers_per_block: int = 2,
     gated_ff: bool = True,
     ff_gate_width: int = 32,
+    resnet_groups: int = 32,
 ) -> GateLayout:
     """Build the canonical gate layout for a (gated) SD-style U-Net config.
 
@@ -238,11 +240,15 @@ def unet_gate_layout(
     rev_heads = list(reversed(heads))
     blocks: List[BlockGates] = []
     for i, bt in enumerate(down_block_types):
-        blocks.append(_block_gates(bt, layers_per_block, heads[i], gated_ff, ff_gate_width))
-    blocks.append(_block_gates(mid_block_type, 1, heads[-1], gated_ff, ff_gate_width))
+        blocks.append(
+            _block_gates(bt, layers_per_block, heads[i], gated_ff, ff_gate_width, resnet_groups)
+        )
+    blocks.append(_block_gates(mid_block_type, 1, heads[-1], gated_ff, ff_gate_width, resnet_groups))
     for i, bt in enumerate(up_block_types):
         blocks.append(
-            _block_gates(bt, layers_per_block + 1, rev_heads[i], gated_ff, ff_gate_width)
+            _block_gates(
+                bt, layers_per_block + 1, rev_heads[i], gated_ff, ff_gate_width, resnet_groups
+            )
         )
     return GateLayout(tuple(blocks))
 
