@@ -1,0 +1,286 @@
+"""HF-torch -> Flax weight converters for the frozen towers and the U-Net.
+
+The reference loads everything with ``from_pretrained`` (trainer.py:2126-2176);
+here the same HF checkpoints (torch state dicts / safetensors) are converted
+once, host-side, into the NHWC/param-transposed Flax trees:
+
+- Linear:   torch [out, in]      -> kernel [in, out]
+- Conv2d:   torch [out, in, h, w]-> kernel [h, w, in, out]
+- Norms:    weight/bias          -> scale/bias
+- Embedding: weight              -> embedding
+"""
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+
+from .unet_spec import UNetSpec
+
+
+def _np(x):
+    if hasattr(x, "detach"):
+        x = x.detach().cpu().numpy()
+    return np.asarray(x)
+
+
+def _linear(sd, p):
+    out = {"kernel": _np(sd[p + ".weight"]).T}
+    if p + ".bias" in sd:
+        out["bias"] = _np(sd[p + ".bias"])
+    return out
+
+
+def _conv(sd, p):
+    out = {"kernel": _np(sd[p + ".weight"]).transpose(2, 3, 1, 0)}
+    if p + ".bias" in sd:
+        out["bias"] = _np(sd[p + ".bias"])
+    return out
+
+
+def _norm(sd, p):
+    return {"scale": _np(sd[p + ".weight"]), "bias": _np(sd[p + ".bias"])}
+
+
+def _embed(sd, p):
+    return {"embedding": _np(sd[p + ".weight"])}
+
+
+# ---------------------------------------------------------------------------
+# CLIP text encoder
+# ---------------------------------------------------------------------------
+
+def convert_clip_text(sd: Dict, num_layers: int = 23) -> Dict:
+    sd = {k.removeprefix("text_model."): v for k, v in sd.items()}
+    params = {
+        "token_embedding": _embed(sd, "embeddings.token_embedding"),
+        "position_embedding": _np(sd["embeddings.position_embedding.weight"]),
+        "final_layer_norm": _norm(sd, "final_layer_norm"),
+    }
+    for i in range(num_layers):
+        p = f"encoder.layers.{i}"
+        params[f"layers_{i}"] = {
+            "self_attn": {
+                "q_proj": _linear(sd, f"{p}.self_attn.q_proj"),
+                "k_proj": _linear(sd, f"{p}.self_attn.k_proj"),
+                "v_proj": _linear(sd, f"{p}.self_attn.v_proj"),
+                "out_proj": _linear(sd, f"{p}.self_attn.out_proj"),
+            },
+            "layer_norm1": _norm(sd, f"{p}.layer_norm1"),
+            "layer_norm2": _norm(sd, f"{p}.layer_norm2"),
+            "mlp_fc1": _linear(sd, f"{p}.mlp.fc1"),
+            "mlp_fc2": _linear(sd, f"{p}.mlp.fc2"),
+        }
+    return params
+
+
+# ---------------------------------------------------------------------------
+# MPNet
+# ---------------------------------------------------------------------------
+
+def convert_mpnet(sd: Dict, num_layers: int = 12) -> Dict:
+    sd = {k.removeprefix("mpnet."): v for k, v in sd.items()}
+    params = {
+        "word_embeddings": _embed(sd, "embeddings.word_embeddings"),
+        "position_embeddings": _embed(sd, "embeddings.position_embeddings"),
+        "embeddings_norm": _norm(sd, "embeddings.LayerNorm"),
+        "relative_attention_bias": _embed(sd, "encoder.relative_attention_bias"),
+    }
+    for i in range(num_layers):
+        p = f"encoder.layer.{i}"
+        params[f"layer_{i}"] = {
+            "attention": {
+                "q": _linear(sd, f"{p}.attention.attn.q"),
+                "k": _linear(sd, f"{p}.attention.attn.k"),
+                "v": _linear(sd, f"{p}.attention.attn.v"),
+                "o": _linear(sd, f"{p}.attention.attn.o"),
+            },
+            "attention_norm": _norm(sd, f"{p}.attention.LayerNorm"),
+            "intermediate": _linear(sd, f"{p}.intermediate.dense"),
+            "output": _linear(sd, f"{p}.output.dense"),
+            "output_norm": _norm(sd, f"{p}.output.LayerNorm"),
+        }
+    return params
+
+
+# ---------------------------------------------------------------------------
+# VAE
+# ---------------------------------------------------------------------------
+
+def _vae_resnet(sd, p, has_shortcut):
+    out = {
+        "norm1": _norm(sd, p + ".norm1"),
+        "conv1": _conv(sd, p + ".conv1"),
+        "norm2": _norm(sd, p + ".norm2"),
+        "conv2": _conv(sd, p + ".conv2"),
+    }
+    if has_shortcut:
+        out["conv_shortcut"] = _conv(sd, p + ".conv_shortcut")
+    return out
+
+
+def _vae_attention(sd, p):
+    if p + ".to_q.weight" in sd:  # modern diffusers naming
+        names = ("to_q", "to_k", "to_v")
+        out_name = "to_out.0"
+    else:  # legacy naming
+        names = ("query", "key", "value")
+        out_name = "proj_attn"
+    q, k, v = (_linear(sd, f"{p}.{n}") for n in names)
+    return {
+        "group_norm": _norm(sd, p + ".group_norm"),
+        "to_q": q,
+        "to_k": k,
+        "to_v": v,
+        "to_out_0": _linear(sd, f"{p}.{out_name}"),
+    }
+
+
+def convert_vae(sd: Dict, block_out_channels=(128, 256, 512, 512), layers_per_block=2) -> Dict:
+    n = len(block_out_channels)
+    enc = {
+        "conv_in": _conv(sd, "encoder.conv_in"),
+        "conv_norm_out": _norm(sd, "encoder.conv_norm_out"),
+        "conv_out": _conv(sd, "encoder.conv_out"),
+        "mid_block": {
+            "resnets_0": _vae_resnet(sd, "encoder.mid_block.resnets.0", False),
+            "attentions_0": _vae_attention(sd, "encoder.mid_block.attentions.0"),
+            "resnets_1": _vae_resnet(sd, "encoder.mid_block.resnets.1", False),
+        },
+    }
+    prev = block_out_channels[0]
+    for i, ch in enumerate(block_out_channels):
+        for j in range(layers_per_block):
+            has_sc = (j == 0 and prev != ch)
+            enc[f"down_blocks_{i}_resnets_{j}"] = _vae_resnet(
+                sd, f"encoder.down_blocks.{i}.resnets.{j}", has_sc
+            )
+        if i < n - 1:
+            enc[f"down_blocks_{i}_downsampler"] = _conv(
+                sd, f"encoder.down_blocks.{i}.downsamplers.0.conv"
+            )
+        prev = ch
+
+    rev = tuple(reversed(block_out_channels))
+    dec = {
+        "conv_in": _conv(sd, "decoder.conv_in"),
+        "conv_norm_out": _norm(sd, "decoder.conv_norm_out"),
+        "conv_out": _conv(sd, "decoder.conv_out"),
+        "mid_block": {
+            "resnets_0": _vae_resnet(sd, "decoder.mid_block.resnets.0", False),
+            "attentions_0": _vae_attention(sd, "decoder.mid_block.attentions.0"),
+            "resnets_1": _vae_resnet(sd, "decoder.mid_block.resnets.1", False),
+        },
+    }
+    prev = rev[0]
+    for i, ch in enumerate(rev):
+        for j in range(layers_per_block + 1):
+            has_sc = (j == 0 and prev != ch)
+            dec[f"up_blocks_{i}_resnets_{j}"] = _vae_resnet(
+                sd, f"decoder.up_blocks.{i}.resnets.{j}", has_sc
+            )
+        if i < n - 1:
+            dec[f"up_blocks_{i}_upsampler"] = _conv(sd, f"decoder.up_blocks.{i}.upsamplers.0.conv")
+        prev = ch
+
+    return {
+        "encoder": enc,
+        "decoder": dec,
+        "quant_conv": _conv(sd, "quant_conv"),
+        "post_quant_conv": _conv(sd, "post_quant_conv"),
+    }
+
+
+# ---------------------------------------------------------------------------
+# SD U-Net
+# ---------------------------------------------------------------------------
+
+def _unet_resnet(sd, p, use_shortcut):
+    out = {
+        "norm1": _norm(sd, p + ".norm1"),
+        "conv1": _conv(sd, p + ".conv1"),
+        "time_emb_proj": _linear(sd, p + ".time_emb_proj"),
+        "norm2": _norm(sd, p + ".norm2"),
+        "conv2": _conv(sd, p + ".conv2"),
+    }
+    if use_shortcut:
+        out["conv_shortcut"] = _conv(sd, p + ".conv_shortcut")
+    return out
+
+
+def _unet_attention(sd, p):
+    return {
+        "to_q": _linear(sd, p + ".to_q"),
+        "to_k": _linear(sd, p + ".to_k"),
+        "to_v": _linear(sd, p + ".to_v"),
+        "to_out_0": _linear(sd, p + ".to_out.0"),
+    }
+
+
+def _unet_transformer(sd, p, use_linear_projection):
+    proj = _linear if use_linear_projection else _conv
+    tb = f"{p}.transformer_blocks.0"
+    return {
+        "norm": _norm(sd, p + ".norm"),
+        "proj_in": proj(sd, p + ".proj_in"),
+        "proj_out": proj(sd, p + ".proj_out"),
+        "transformer_blocks_0": {
+            "norm1": _norm(sd, tb + ".norm1"),
+            "attn1": _unet_attention(sd, tb + ".attn1"),
+            "norm2": _norm(sd, tb + ".norm2"),
+            "attn2": _unet_attention(sd, tb + ".attn2"),
+            "norm3": _norm(sd, tb + ".norm3"),
+            "ff": {
+                "net_0": {"proj": _linear(sd, tb + ".ff.net.0.proj")},
+                "net_2": _linear(sd, tb + ".ff.net.2"),
+            },
+        },
+    }
+
+
+def convert_unet(sd: Dict, spec: UNetSpec) -> Dict:
+    """Load SD U-Net weights (full, unpruned) into the spec-driven tree.
+    Mirrors UNet2DConditionModelGated.from_pretrained (reference
+    unet_2d_conditional.py:1731+) — the gated graph shares the plain model's
+    weights; gates have no parameters."""
+    use_lp = any(t.use_linear_projection for b in spec.blocks for t in b.transformers)
+    params = {
+        "conv_in": _conv(sd, "conv_in"),
+        "time_embedding": {
+            "linear_1": _linear(sd, "time_embedding.linear_1"),
+            "linear_2": _linear(sd, "time_embedding.linear_2"),
+        },
+        "conv_norm_out": _norm(sd, "conv_norm_out"),
+        "conv_out": _conv(sd, "conv_out"),
+    }
+
+    def block_params(block, prefix):
+        bp = {}
+        for j, r in enumerate(block.resnets):
+            bp[f"resnets_{j}"] = _unet_resnet(sd, f"{prefix}.resnets.{j}", r.use_shortcut)
+        for j, _t in enumerate(block.transformers):
+            bp[f"attentions_{j}"] = _unet_transformer(sd, f"{prefix}.attentions.{j}", use_lp)
+        if block.add_sampler:
+            if block.kind == "down":
+                bp["downsamplers_0"] = {"conv": _conv(sd, f"{prefix}.downsamplers.0.conv")}
+            else:
+                bp["upsamplers_0"] = {"conv": _conv(sd, f"{prefix}.upsamplers.0.conv")}
+        return bp
+
+    for i, b in enumerate(spec.down):
+        params[f"down_blocks_{i}"] = block_params(b, f"down_blocks.{i}")
+    params["mid_block"] = block_params(spec.mid, "mid_block")
+    for i, b in enumerate(spec.up):
+        params[f"up_blocks_{i}"] = block_params(b, f"up_blocks.{i}")
+    return params
+
+
+def load_torch_state_dict(path: str) -> Dict:
+    """Load a torch .bin / .safetensors state dict from disk (host-side)."""
+    if path.endswith(".safetensors"):
+        from safetensors.numpy import load_file
+
+        return load_file(path)
+    import torch
+
+    return torch.load(path, map_location="cpu", weights_only=True)
