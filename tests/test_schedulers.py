@@ -129,5 +129,5 @@ def test_snr_weights():
     assert snr[0] > snr[1] > snr[2]
     w_v = min_snr_weights(sched.alphas_cumprod, t, gamma=5.0, prediction_type="v_prediction")
     w_e = min_snr_weights(sched.alphas_cumprod, t, gamma=5.0, prediction_type="epsilon")
-    np.testing.assert_allclose(w_v, jnp.minimum(snr, 5.0) / (snr + 1), rtol=1e-6)
+    np.testing.assert_allclose(w_v, jnp.minimum(snr + 1, 5.0) / (snr + 1), rtol=1e-6)
     np.testing.assert_allclose(w_e, jnp.minimum(snr, 5.0) / snr, rtol=1e-6)

@@ -280,7 +280,12 @@ class UNet2DConditionModel(nn.Module):
         timesteps: jnp.ndarray,
         encoder_hidden_states: jnp.ndarray,
         structure: Optional[Structure] = None,
-    ) -> jnp.ndarray:
+        return_block_activations: bool = False,
+    ):
+        """When ``return_block_activations``, also returns the per-block
+        output dict {'d0'..,'m','u0'..} used by the block-distillation loss —
+        the TPU-native stand-in for the reference's forward hooks
+        (cast_block_act_hooks, trainer.py:557-572)."""
         s = self.spec
         if timesteps.ndim == 0:
             timesteps = jnp.broadcast_to(timesteps, (sample.shape[0],))
@@ -296,6 +301,7 @@ class UNet2DConditionModel(nn.Module):
             name="conv_in",
         )(sample)
 
+        block_acts = {}
         res_stack: List[jnp.ndarray] = [h]
         bi = 0
         for i, block in enumerate(s.down):
@@ -303,11 +309,13 @@ class UNet2DConditionModel(nn.Module):
                 h, temb, encoder_hidden_states, per_block[bi]
             )
             res_stack.extend(outputs)
+            block_acts[f"d{i}"] = h
             bi += 1
 
         h = MidBlock2DCrossAttn(s.mid, self.dtype, name="mid_block")(
             h, temb, encoder_hidden_states, per_block[bi]
         )
+        block_acts["m"] = h
         bi += 1
 
         for i, block in enumerate(s.up):
@@ -316,6 +324,7 @@ class UNet2DConditionModel(nn.Module):
             h = UpBlock2D(block, self.dtype, name=f"up_blocks_{i}")(
                 h, list(skips), temb, encoder_hidden_states, per_block[bi]
             )
+            block_acts[f"u{i}"] = h
             bi += 1
 
         h = nn.GroupNorm(s.norm_num_groups, epsilon=1e-5, dtype=self.dtype, name="conv_norm_out")(h)
@@ -323,4 +332,6 @@ class UNet2DConditionModel(nn.Module):
         h = nn.Conv(
             s.out_channels, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv_out"
         )(h)
+        if return_block_activations:
+            return h, block_acts
         return h

@@ -20,16 +20,13 @@ def min_snr_weights(
     gamma: float,
     prediction_type: str = "v_prediction",
 ) -> jnp.ndarray:
-    """Per-sample MSE weights: min(SNR, gamma)/SNR (epsilon) or /(SNR+1) (v).
-
-    Mirrors pdm/training/trainer.py:2451-2470 (which follows the min-SNR
-    paper, arXiv 2303.09556, as implemented in diffusers' train scripts).
+    """Per-sample MSE weights, exactly as the reference computes them
+    (pdm/training/trainer.py:2452-2470): for v-prediction SNR is first shifted
+    by +1, then w = min(SNR, gamma)/SNR — i.e. min(snr+1, gamma)/(snr+1).
     """
     snr = compute_snr(alphas_cumprod, timesteps)
-    clipped = jnp.minimum(snr, gamma)
     if prediction_type == "v_prediction":
-        return clipped / (snr + 1.0)
-    elif prediction_type == "epsilon":
-        return clipped / snr
-    else:
+        snr = snr + 1.0
+    elif prediction_type != "epsilon":
         raise ValueError(f"unknown prediction_type {prediction_type}")
+    return jnp.minimum(snr, gamma) / snr
