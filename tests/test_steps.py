@@ -1,0 +1,134 @@
+"""Smoke tests for the jitted train steps on an 8-device CPU mesh — exercises
+the sharded-batch + replicated-params layout the TPU runs use."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from unlearn_ft_tpu.models import UNet2DConditionModel, UNetConfig, build_unet_spec, gate_layout_for_config
+from unlearn_ft_tpu.models.hypernet import HyperStructure
+from unlearn_ft_tpu.models.quantizer import QuantizerConfig
+from unlearn_ft_tpu.models.vae import AutoencoderKL, VAEConfig
+from unlearn_ft_tpu.parallel import create_mesh, replicate, shard_batch
+from unlearn_ft_tpu.schedulers import DiffusionSchedule
+from unlearn_ft_tpu.training.optim import make_optimizer
+from unlearn_ft_tpu.training.steps import (
+    LossConfig,
+    make_finetune_step,
+    make_pruner_step,
+    make_upper_step,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = UNetConfig(
+        sample_size=8,
+        block_out_channels=(16, 32),
+        layers_per_block=2,
+        num_attention_heads=(2, 4),
+        cross_attention_dim=16,
+        norm_num_groups=4,
+        ff_gate_width=4,
+        upcast_attention=False,
+        down_block_types=("CrossAttnDownBlock2DHalfGated", "DownBlock2DHalfGated"),
+        up_block_types=("UpBlock2DHalfGated", "CrossAttnUpBlock2DHalfGated"),
+    )
+    spec = build_unet_spec(cfg)
+    layout = gate_layout_for_config(cfg)
+    unet = UNet2DConditionModel(spec)
+    vae = AutoencoderKL(VAEConfig(block_out_channels=(8, 16), layers_per_block=1, norm_num_groups=4))
+    sched = DiffusionSchedule()
+
+    key = jax.random.PRNGKey(0)
+    sample = jnp.zeros((1, 8, 8, 4))
+    ctx = jnp.zeros((1, 7, 16))
+    uparams = unet.init(key, sample, jnp.array([0]), ctx)["params"]
+    vparams = vae.init(key, jnp.zeros((1, 16, 16, 3)), key)["params"]
+
+    mesh = create_mesh()
+    batch = {
+        "pixel_values": np.random.default_rng(0).standard_normal((8, 16, 16, 3), np.float32),
+        "prompt_embeds": np.random.default_rng(1).standard_normal((8, 7, 16), np.float32),
+        "empty_prompt_embeds": np.zeros((8, 7, 16), np.float32),
+        "mpnet_embeddings": np.random.default_rng(2).standard_normal((8, 12), np.float32),
+    }
+    batch = shard_batch(batch, mesh)
+    return cfg, spec, layout, unet, vae, sched, uparams, vparams, mesh, batch
+
+
+def test_mesh_has_8_devices(setup):
+    mesh = setup[8]
+    assert mesh.devices.size == 8
+
+
+def _fresh(tree, mesh):
+    # deep-copy before replicate: the steps donate their params/opt_state,
+    # and replicate() may alias the source buffer on device 0
+    return replicate(jax.tree.map(jnp.copy, tree), mesh)
+
+
+def test_finetune_step(setup):
+    cfg, spec, layout, unet, vae, sched, uparams, vparams, mesh, batch = setup
+    loss_cfg = LossConfig()
+    tx = make_optimizer(1e-4, warmup_steps=2)
+    step = make_finetune_step(unet, unet, vae, sched, loss_cfg, tx)
+    params = _fresh(uparams, mesh)
+    teacher = _fresh(uparams, mesh)
+    opt_state = _fresh(tx.init(uparams), mesh)
+    frozen = {"teacher": teacher, "vae": _fresh(vparams, mesh)}
+
+    p1, o1, m1 = step(params, opt_state, frozen, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(m1["loss"]))
+    assert float(m1["distill_loss"]) >= 0
+    # params actually changed
+    d0 = jax.tree.leaves(p1)[0]
+    assert d0.dtype == jnp.float32
+    p2, o2, m2 = step(p1, o1, frozen, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(m2["loss"]))
+
+
+def test_upper_step(setup):
+    cfg, spec, layout, unet, vae, sched, uparams, vparams, mesh, batch = setup
+    loss_cfg = LossConfig(upper_distillation_weight=1.0)
+    tx = make_optimizer(5e-6)
+    step = make_upper_step(unet, unet, vae, sched, loss_cfg, tx)
+    params = _fresh(uparams, mesh)
+    opt_state = _fresh(tx.init(uparams), mesh)
+    frozen = {"teacher": _fresh(uparams, mesh), "vae": _fresh(vparams, mesh)}
+    p1, o1, m1 = step(params, opt_state, frozen, batch, jax.random.PRNGKey(3))
+    assert np.isfinite(float(m1["upper_loss"]))
+    assert float(m1["upper_distill_loss"]) > 0
+
+
+def test_pruner_step(setup):
+    cfg, spec, layout, unet, vae, sched, uparams, vparams, mesh, batch = setup
+    hn = HyperStructure(layout, input_dim=12)
+    hparams = hn.init(jax.random.PRNGKey(4), jnp.zeros((1, 12)))["params"]
+    qcfg = QuantizerConfig(layout=layout, n_e=4)
+    qparams = qcfg.init_params(jax.random.PRNGKey(5))
+    qstate = qcfg.init_state(qparams)
+    qstate = qcfg.set_prunable_macs_template(
+        qstate,
+        [[1.0] * len(s.widths) for s in layout.submodules],
+    )
+
+    loss_cfg = LossConfig(resource_target=0.6, contrastive_weight=1.0, resource_weight=1.0)
+    tx = make_optimizer(1e-3)
+    step = make_pruner_step(unet, hn, qcfg, vae, layout, spec, sched, loss_cfg, tx, seq_kv=7)
+
+    trainable = _fresh({"hypernet": hparams, "quantizer": qparams}, mesh)
+    opt_state = _fresh(tx.init({"hypernet": hparams, "quantizer": qparams}), mesh)
+    qstate = _fresh(qstate, mesh)
+    frozen = {"unet": _fresh(uparams, mesh), "vae": _fresh(vparams, mesh)}
+
+    t1, o1, qs1, m1 = step(trainable, opt_state, qstate, frozen, batch, jax.random.PRNGKey(6))
+    assert np.isfinite(float(m1["loss"]))
+    assert 0 < float(m1["resource_ratio"]) <= 1.5
+    assert m1["expert_indices"].shape == (8,)
+    # hypernet received gradients
+    before = jax.tree.leaves({"h": hparams})[0]
+    after = jax.tree.leaves({"h": t1["hypernet"]})[0]
+    assert not np.array_equal(np.asarray(before), np.asarray(after))
+    # embedding_gs snapshot updated
+    assert not np.array_equal(np.asarray(qs1["embedding_gs"]), np.asarray(qstate["embedding_gs"]))

@@ -1,0 +1,37 @@
+"""Device mesh + sharding helpers.
+
+The reference's entire distribution story is DDP over NCCL via accelerate
+(SURVEY.md §2.4). TPU-native equivalent: one `jax.sharding.Mesh` with a
+'dp' axis over ICI; batches are sharded on 'dp', params replicated, and
+every collective (gradient psum, the contrastive all_gather, Sinkhorn
+all_reduce) is inserted by XLA from the sharding annotations — there are no
+explicit communication calls anywhere in the framework.
+
+The mesh shape is (dp,) today; model axes ('tp') can be added to the same
+Mesh without touching the train steps, since they are sharding-agnostic.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def create_mesh(num_devices: Optional[int] = None, axis_name: str = "dp") -> Mesh:
+    devices = jax.devices()
+    if num_devices is not None:
+        devices = devices[:num_devices]
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def shard_batch(batch, mesh: Mesh, axis_name: str = "dp"):
+    """Shard every leaf's leading (batch) dimension across the mesh."""
+    sharding = NamedSharding(mesh, P(axis_name))
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def replicate(tree, mesh: Mesh):
+    sharding = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)

@@ -1,0 +1,303 @@
+"""Pure jitted training steps.
+
+Each trainer in the reference is a Python loop over a torch step method with
+DDP allreduce at backward (trainer.py:2403-2488 fine-tune, :2904-3001 upper,
+:1159-1321 pruning). Here every step is ONE pure function — VAE encode,
+forward processes, teacher+student forwards, losses, and the optax update all
+inside a single XLA graph — jitted once and sharded over the DP mesh; the
+gradient mean over devices is the psum XLA inserts for the replicated-param /
+sharded-batch layout.
+
+NaN protection replaces the reference's host-side NaN-batch skipping
+(trainer.py:986-994) with a where() on the update, so it costs nothing.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..losses import (
+    block_distillation_loss,
+    contrastive_loss,
+    diffusion_loss,
+    distillation_loss,
+    esd_negative_guidance_target,
+    resource_loss,
+)
+from ..schedulers import DiffusionSchedule
+from ..utils import macs as macs_lib
+from ..utils.arch import GateLayout
+
+
+@dataclass(frozen=True)
+class LossConfig:
+    snr_gamma: Optional[float] = 5.0
+    diffusion_weight: float = 1.0
+    distillation_weight: float = 2.0
+    block_weight: float = 0.1
+    # bilevel upper step (configs/baselines/*bilevel.yaml)
+    upper_distillation_weight: float = 1.0
+    upper_block_weight: float = 0.0
+    # pruning stage
+    contrastive_weight: float = 10.0
+    resource_weight: float = 2.0
+    resource_target: float = 0.7
+    resource_type: str = "log"
+    std_weight: float = 0.0
+    max_weight: float = 0.0
+    noise_offset: float = 0.0
+    input_perturbation: float = 0.0
+    max_scheduler_steps: Optional[int] = None
+
+
+def _forward_process(sched: DiffusionSchedule, loss_cfg: LossConfig, latents, rng):
+    k_noise, k_offset, k_perturb, k_t = jax.random.split(rng, 4)
+    noise = jax.random.normal(k_noise, latents.shape, latents.dtype)
+    if loss_cfg.noise_offset:
+        b, _, _, c = latents.shape
+        noise = noise + loss_cfg.noise_offset * jax.random.normal(
+            k_offset, (b, 1, 1, c), latents.dtype
+        )
+    used_noise = noise
+    if loss_cfg.input_perturbation:
+        used_noise = noise + loss_cfg.input_perturbation * jax.random.normal(
+            k_perturb, noise.shape, noise.dtype
+        )
+    t_max = loss_cfg.max_scheduler_steps or sched.num_train_timesteps
+    timesteps = jax.random.randint(k_t, (latents.shape[0],), 0, t_max)
+    noisy = sched.add_noise(latents, used_noise, timesteps)
+    target = sched.training_target(latents, noise, timesteps)
+    return noisy, timesteps, target
+
+
+def _get_latents(vae, vae_params, batch, rng):
+    if "latents" in batch:
+        return batch["latents"]
+    return jax.lax.stop_gradient(
+        vae.apply({"params": vae_params}, batch["pixel_values"], rng, method=vae.encode)
+    )
+
+
+def _safe_update(tx, grads, opt_state, params, loss):
+    """Apply the optimizer update only when the loss is finite."""
+    updates, new_opt_state = tx.update(grads, opt_state, params)
+    new_params = optax.apply_updates(params, updates)
+    good = jnp.isfinite(loss)
+    pick = lambda new, old: jax.tree.map(lambda n, o: jnp.where(good, n, o), new, old)
+    return pick(new_params, params), pick(new_opt_state, opt_state)
+
+
+# ---------------------------------------------------------------------------
+# Expert fine-tuning (UnetFineTuner.step, trainer.py:2403-2488)
+# ---------------------------------------------------------------------------
+
+def make_finetune_step(
+    student,
+    teacher,
+    vae,
+    sched: DiffusionSchedule,
+    loss_cfg: LossConfig,
+    tx: optax.GradientTransformation,
+):
+    """Returns step(params, opt_state, frozen, batch, rng) -> (params,
+    opt_state, metrics). ``frozen`` = {'teacher':…, 'vae':…} param trees."""
+    need_teacher = loss_cfg.distillation_weight > 0 or loss_cfg.block_weight > 0
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, opt_state, frozen, batch, rng):
+        k_vae, k_fwd = jax.random.split(rng)
+        latents = _get_latents(vae, frozen["vae"], batch, k_vae)
+        noisy, timesteps, target = _forward_process(sched, loss_cfg, latents, k_fwd)
+        ctx = batch["prompt_embeds"]
+
+        if need_teacher:
+            teacher_pred, teacher_acts = teacher.apply(
+                {"params": frozen["teacher"]}, noisy, timesteps, ctx,
+                return_block_activations=True,
+            )
+            teacher_pred = jax.lax.stop_gradient(teacher_pred)
+            teacher_acts = jax.lax.stop_gradient(teacher_acts)
+
+        def loss_fn(p):
+            pred, acts = student.apply(
+                {"params": p}, noisy, timesteps, ctx, return_block_activations=True
+            )
+            d_loss = diffusion_loss(
+                pred, target, timesteps, sched.alphas_cumprod, loss_cfg.snr_gamma,
+                sched.prediction_type,
+            )
+            loss = loss_cfg.diffusion_weight * d_loss
+            dist = jnp.asarray(0.0)
+            blk = jnp.asarray(0.0)
+            if loss_cfg.distillation_weight > 0:
+                dist = distillation_loss(pred, teacher_pred)
+                loss = loss + loss_cfg.distillation_weight * dist
+            if loss_cfg.block_weight > 0:
+                blk = block_distillation_loss(acts, teacher_acts)
+                loss = loss + loss_cfg.block_weight * blk
+            return loss, {"loss": loss, "diff_loss": d_loss, "distill_loss": dist,
+                          "block_loss": blk}
+
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        new_params, new_opt_state = _safe_update(tx, grads, opt_state, params, loss)
+        return new_params, new_opt_state, metrics
+
+    return step
+
+
+# ---------------------------------------------------------------------------
+# Bilevel upper step: ESD negative-guidance suppression
+# (BilevelUnetFineTuner.upper_step, trainer.py:2904-3001)
+# ---------------------------------------------------------------------------
+
+def make_upper_step(
+    student,
+    teacher,
+    vae,
+    sched: DiffusionSchedule,
+    loss_cfg: LossConfig,
+    upper_tx: optax.GradientTransformation,
+):
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, upper_opt_state, frozen, batch, rng):
+        k_vae, k_fwd = jax.random.split(rng)
+        latents = _get_latents(vae, frozen["vae"], batch, k_vae)
+        noisy, timesteps, _ = _forward_process(sched, loss_cfg, latents, k_fwd)
+        ctx = batch["prompt_embeds"]
+        empty_ctx = batch["empty_prompt_embeds"]
+
+        teacher_cond, teacher_acts = teacher.apply(
+            {"params": frozen["teacher"]}, noisy, timesteps, ctx,
+            return_block_activations=True,
+        )
+        teacher_uncond = teacher.apply(
+            {"params": frozen["teacher"]}, noisy, timesteps, empty_ctx
+        )
+        esd_target = esd_negative_guidance_target(teacher_cond, teacher_uncond)
+        teacher_acts = jax.lax.stop_gradient(teacher_acts)
+
+        def loss_fn(p):
+            pred, acts = student.apply(
+                {"params": p}, noisy, timesteps, ctx, return_block_activations=True
+            )
+            loss = jnp.asarray(0.0)
+            dist = jnp.asarray(0.0)
+            blk = jnp.asarray(0.0)
+            if loss_cfg.upper_distillation_weight > 0:
+                dist = jnp.mean((pred - esd_target) ** 2)
+                loss = loss + loss_cfg.upper_distillation_weight * dist
+            if loss_cfg.upper_block_weight > 0:
+                blk = block_distillation_loss(acts, teacher_acts)
+                loss = loss + loss_cfg.upper_block_weight * blk
+            return loss, {"upper_loss": loss, "upper_distill_loss": dist,
+                          "upper_block_loss": blk}
+
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        new_params, new_opt_state = _safe_update(upper_tx, grads, upper_opt_state, params, loss)
+        return new_params, new_opt_state, metrics
+
+    return step
+
+
+# ---------------------------------------------------------------------------
+# APTP pruning step (UnetPruner.step, trainer.py:1159-1321)
+# ---------------------------------------------------------------------------
+
+def make_pruner_step(
+    unet,
+    hypernet,
+    quantizer_cfg,
+    vae,
+    layout: GateLayout,
+    spec,
+    sched: DiffusionSchedule,
+    loss_cfg: LossConfig,
+    tx: optax.GradientTransformation,
+    seq_kv: int = 77,
+    pretrain: bool = False,
+):
+    """Trainable = {'hypernet':…, 'quantizer':…}; U-Net frozen (gates only).
+    The contrastive similarity, Sinkhorn sums and resource stats are global
+    reductions over the sharded batch — DDP all_gathers fall out of jit."""
+    macs_table = macs_lib.unet_macs(spec, seq_kv)
+
+    @partial(jax.jit, donate_argnums=(0, 1), static_argnames=("training",))
+    def step(trainable, opt_state, quant_state, frozen, batch, rng, training=True):
+        k_vae, k_fwd, k_q, k_gs = jax.random.split(rng, 4)
+        latents = _get_latents(vae, frozen["vae"], batch, k_vae)
+        noisy, timesteps, target = _forward_process(sched, loss_cfg, latents, k_fwd)
+        ctx = batch["prompt_embeds"]
+        mpnet_emb = batch["mpnet_embeddings"]
+        batch_size = latents.shape[0]
+
+        ones = layout.ones(batch_size)
+        teacher_pred, teacher_acts = unet.apply(
+            {"params": frozen["unet"]}, noisy, timesteps, ctx, ones,
+            return_block_activations=True,
+        )
+        teacher_pred = jax.lax.stop_gradient(teacher_pred)
+        teacher_acts = jax.lax.stop_gradient(teacher_acts)
+
+        # full-structure denominator for resource ratios (count_macs,
+        # trainer.py:1344-1363)
+        full_cur_prunable = macs_lib.calc_macs(spec, ones, seq_kv, macs_table)["cur_prunable"][0]
+
+        def loss_fn(p):
+            arch_logits = hypernet.apply({"params": p["hypernet"]}, mpnet_emb)
+            zq, idx, new_qstate = quantizer_cfg(
+                k_q, p["quantizer"], quant_state, arch_logits, training=training
+            )
+            arch_gs = quantizer_cfg.gumbel_sigmoid_trick(k_gs, arch_logits)
+            arch_norm = quantizer_cfg.width_depth_normalize(quant_state, arch_gs)
+
+            c_loss, sim = contrastive_loss(mpnet_emb, arch_norm)
+
+            structure = layout.split(arch_gs if pretrain else zq)
+            pred, acts = unet.apply(
+                {"params": frozen["unet"]}, noisy, timesteps, ctx, structure,
+                return_block_activations=True,
+            )
+
+            d_loss = diffusion_loss(
+                pred, target, timesteps, sched.alphas_cumprod, loss_cfg.snr_gamma,
+                sched.prediction_type,
+            )
+            dist = distillation_loss(pred, teacher_pred)
+            blk = block_distillation_loss(acts, teacher_acts)
+
+            macs_dict = macs_lib.calc_macs(spec, structure, seq_kv, macs_table)
+            ratios = macs_dict["cur_prunable"] / full_cur_prunable
+            r_loss = resource_loss(ratios.mean(), loss_cfg.resource_target,
+                                   loss_cfg.resource_type)
+            std_loss = -jnp.std(ratios)
+            max_loss = 1.0 - jnp.max(ratios)
+
+            loss = (
+                loss_cfg.diffusion_weight * d_loss
+                + loss_cfg.resource_weight * r_loss
+                + loss_cfg.contrastive_weight * c_loss
+                + loss_cfg.distillation_weight * dist
+                + loss_cfg.block_weight * blk
+                + loss_cfg.std_weight * std_loss
+                + loss_cfg.max_weight * max_loss
+            )
+            metrics = {
+                "loss": loss, "diff_loss": d_loss, "distill_loss": dist,
+                "block_loss": blk, "contrastive_loss": c_loss, "resource_loss": r_loss,
+                "resource_ratio": ratios.mean(), "batch_resource_ratios": ratios,
+                "expert_indices": idx,
+            }
+            return loss, (metrics, new_qstate)
+
+        (loss, (metrics, new_qstate)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            trainable
+        )
+        new_trainable, new_opt_state = _safe_update(tx, grads, opt_state, trainable, loss)
+        return new_trainable, new_opt_state, new_qstate, metrics
+
+    return step
