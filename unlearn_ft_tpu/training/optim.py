@@ -19,12 +19,14 @@ def make_lr_schedule(
     if name == "constant":
         return optax.constant_schedule(learning_rate)
     if name == "constant_with_warmup":
+        if warmup_steps <= 0:  # diffusers semantics: no warmup => full LR at step 0
+            return optax.constant_schedule(learning_rate)
         return optax.join_schedules(
             [
-                optax.linear_schedule(0.0, learning_rate, max(warmup_steps, 1)),
+                optax.linear_schedule(0.0, learning_rate, warmup_steps),
                 optax.constant_schedule(learning_rate),
             ],
-            [max(warmup_steps, 1)],
+            [warmup_steps],
         )
     if name == "linear":
         assert total_steps is not None
