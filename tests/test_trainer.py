@@ -1,0 +1,123 @@
+"""End-to-end trainer smoke tests on synthetic data + tiny models."""
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+from unlearn_ft_tpu.utils.config import load_config
+
+CFG_PATH = os.path.join(os.path.dirname(__file__), "..", "configs", "tests", "tiny_synthetic.yaml")
+
+
+def _config(tmp, **overrides):
+    cfg = load_config(CFG_PATH)
+    cfg.training.logging.logging_dir = tmp
+    cfg.merge({"seed": 43, "wandb_run_name": "t", "pruning_type": "multi-expert"})
+    cfg.merge(overrides)
+    return cfg
+
+
+def _read_metrics(logdir):
+    import json
+
+    path = os.path.join(logdir, "t", "metrics.jsonl")
+    with open(path) as f:
+        return [json.loads(line) for line in f]
+
+
+def test_finetune_trainer_runs():
+    from unlearn_ft_tpu.training.finetune import FineTuneTrainer
+
+    with tempfile.TemporaryDirectory() as tmp:
+        t = FineTuneTrainer(_config(tmp))
+        # random_pruning_ratio=0.6 => materialized student smaller than teacher
+        assert t.arch_vector is not None
+        t.train()
+        rows = _read_metrics(tmp)
+        assert len(rows) == 3
+        assert all(np.isfinite(r["loss"]) for r in rows)
+
+
+def test_bilevel_trainer_upper_steps_fire():
+    from unlearn_ft_tpu.training.bilevel import BilevelFineTuneTrainer
+
+    with tempfile.TemporaryDirectory() as tmp:
+        cfg = _config(tmp)
+        cfg.training.max_train_steps = 4
+        t = BilevelFineTuneTrainer(cfg)
+        t.train()
+        rows = _read_metrics(tmp)
+        # upper_step_freq=2 => steps 2 and 4 carry upper metrics
+        upper_rows = [r for r in rows if "upper_loss" in r]
+        assert len(upper_rows) == 2
+        assert all(np.isfinite(r["upper_loss"]) for r in upper_rows)
+
+
+def test_checkpoint_save_and_resume():
+    from unlearn_ft_tpu.training.finetune import FineTuneTrainer
+
+    with tempfile.TemporaryDirectory() as tmp:
+        cfg = _config(tmp)
+        cfg.training.max_train_steps = 2
+        cfg.training.checkpoint_steps = 2
+        t = FineTuneTrainer(cfg)
+        t.train()
+        assert t.ckpt.latest_step() == 2
+        assert t.ckpt.load_arch_vector(2) is not None
+        assert t.ckpt.load_spec_json(2) is not None
+
+        # resume continues from step 2
+        cfg2 = _config(tmp)
+        cfg2.training.max_train_steps = 3
+        cfg2.training.logging.resume_from_checkpoint = "latest"
+        t2 = FineTuneTrainer(cfg2)
+        t2.ckpt = t.ckpt
+        t2.maybe_resume()
+        assert t2.global_step == 2
+
+
+def test_pruning_trainer_runs():
+    from unlearn_ft_tpu.training.pruner import PruningTrainer
+
+    with tempfile.TemporaryDirectory() as tmp:
+        cfg = _config(tmp)
+        cfg.training.max_train_steps = 2
+        cfg.training.checkpoint_steps = 2
+        t = PruningTrainer(cfg)
+        t.train()
+        rows = _read_metrics(tmp)
+        assert all(np.isfinite(r["loss"]) for r in rows)
+        assert "resource_ratio" in rows[-1]
+        # pruning checkpoint exposes the quantizer embeddings artifact
+        step = t.ckpt.latest_step()
+        emb_path = os.path.join(t.ckpt.path(step), "quantizer_embeddings.npy")
+        assert os.path.exists(emb_path)
+        emb = np.load(emb_path)
+        assert emb.shape == (4, t.layout.total_dim)
+
+
+def test_finetune_from_pruning_checkpoint():
+    """The fine-tuner consumes a pruning checkpoint's quantizer embeddings
+    (multi-expert contract, trainer.py:2159-2163)."""
+    from unlearn_ft_tpu.training.finetune import FineTuneTrainer
+    from unlearn_ft_tpu.models import gate_layout_for_config
+    from unlearn_ft_tpu.training.trainer import unet_config_from
+
+    with tempfile.TemporaryDirectory() as tmp:
+        cfg = _config(tmp)
+        layout = gate_layout_for_config(unet_config_from(cfg))
+        # fake pruning checkpoint with 4 experts
+        rng = np.random.default_rng(0)
+        emb = rng.uniform(0.0, 1.0, size=(4, layout.total_dim)).astype(np.float32)
+        emb[:, :] = np.where(emb > 0.45, 0.9, 0.1)
+        pruning_dir = os.path.join(tmp, "pruning_ckpt")
+        os.makedirs(pruning_dir)
+        np.save(os.path.join(pruning_dir, "quantizer_embeddings.npy"), emb)
+
+        cfg.model.prediction_model.random_pruning_ratio = None
+        cfg.merge({"pruning_ckpt_dir": pruning_dir, "expert_id": 2})
+        cfg.training.max_train_steps = 1
+        t = FineTuneTrainer(cfg)
+        np.testing.assert_allclose(t.arch_vector[0], emb[2])
+        t.train()

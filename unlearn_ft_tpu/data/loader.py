@@ -1,0 +1,80 @@
+"""Simple prefetching data loader producing numpy NHWC batches.
+
+Replaces torch DataLoader + accelerate's DistributedSampler: each host
+iterates its own shard of the record list (jax.process_index-based split for
+multi-host); device sharding happens later via parallel.shard_batch.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Iterator, Optional, Sequence
+
+import numpy as np
+
+
+class DataLoader:
+    def __init__(
+        self,
+        records: Sequence,
+        batch_size: int,
+        collate: Callable[[list], dict],
+        shuffle: bool = True,
+        seed: int = 0,
+        drop_last: bool = True,
+        prefetch: int = 2,
+        num_shards: int = 1,
+        shard_index: int = 0,
+    ):
+        self.records = records
+        self.batch_size = batch_size
+        self.collate = collate
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+        self.num_shards = num_shards
+        self.shard_index = shard_index
+        self._epoch = 0
+
+    def __len__(self):
+        n = len(self.records) // self.num_shards
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _epoch_indices(self) -> np.ndarray:
+        idx = np.arange(len(self.records))
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self._epoch)
+            rng.shuffle(idx)
+        return idx[self.shard_index :: self.num_shards]
+
+    def __iter__(self) -> Iterator[dict]:
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = object()
+
+        def worker():
+            idx = self._epoch_indices()
+            nb = len(idx) // self.batch_size if self.drop_last else -(-len(idx) // self.batch_size)
+            for b in range(nb):
+                sel = idx[b * self.batch_size : (b + 1) * self.batch_size]
+                try:
+                    q.put(self.collate([self.records[int(i)] for i in sel]))
+                except Exception as e:  # surface worker errors to the consumer
+                    q.put(e)
+                    break
+            q.put(stop)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            if isinstance(item, Exception):
+                raise item
+            yield item
+        self._epoch += 1
+
+    def infinite(self) -> Iterator[dict]:
+        while True:
+            yield from self

@@ -1,0 +1,82 @@
+"""Host-side preprocessing: image transforms (NHWC, [-1,1]) and batched text
+embedding precomputation.
+
+Design change vs the reference: CLIP/MPNet encoding runs ONCE per dataset in
+large jitted batches and is cached (the reference re-encodes every batch in
+the training process on the accelerator, data_utils.py:247-284 — flagged in
+SURVEY §3.5 as the throughput bottleneck to fix).
+"""
+from __future__ import annotations
+
+import hashlib
+import os
+from typing import Callable, List, Optional
+
+import numpy as np
+
+
+def image_transform(
+    resolution: int,
+    center_crop: bool = False,
+    random_flip: bool = True,
+    rng: Optional[np.random.Generator] = None,
+):
+    """PIL image -> float32 NHWC in [-1, 1] (torchvision-equivalent chain:
+    resize shorter side, crop, optional flip, normalize —
+    data_utils.py:71-97)."""
+    rng = rng or np.random.default_rng(0)
+
+    def transform(img):
+        from PIL import Image
+
+        w, h = img.size
+        scale = resolution / min(w, h)
+        img = img.resize((round(w * scale), round(h * scale)), Image.BILINEAR)
+        w, h = img.size
+        if center_crop:
+            left, top = (w - resolution) // 2, (h - resolution) // 2
+        else:
+            left = rng.integers(0, w - resolution + 1)
+            top = rng.integers(0, h - resolution + 1)
+        img = img.crop((left, top, left + resolution, top + resolution))
+        arr = np.asarray(img.convert("RGB"), dtype=np.float32) / 127.5 - 1.0
+        if random_flip and rng.random() < 0.5:
+            arr = arr[:, ::-1]
+        return arr
+
+    return transform
+
+
+class TextEmbeddingCache:
+    """Precompute CLIP last-hidden-state + MPNet mean-pooled embeddings for a
+    caption list, cached to .npz keyed by content hash."""
+
+    def __init__(self, encode_clip: Callable, encode_mpnet: Optional[Callable],
+                 cache_dir: Optional[str] = None, batch_size: int = 256):
+        self.encode_clip = encode_clip
+        self.encode_mpnet = encode_mpnet
+        self.cache_dir = cache_dir
+        self.batch_size = batch_size
+
+    def __call__(self, captions: List[str]):
+        key = hashlib.sha1("\x00".join(captions).encode()).hexdigest()[:16]
+        if self.cache_dir:
+            path = os.path.join(self.cache_dir, f"text_emb_{key}.npz")
+            if os.path.exists(path):
+                z = np.load(path)
+                return z["prompt_embeds"], (z["mpnet"] if "mpnet" in z else None)
+        clip_chunks, mpnet_chunks = [], []
+        for i in range(0, len(captions), self.batch_size):
+            chunk = captions[i : i + self.batch_size]
+            clip_chunks.append(np.asarray(self.encode_clip(chunk)))
+            if self.encode_mpnet is not None:
+                mpnet_chunks.append(np.asarray(self.encode_mpnet(chunk)))
+        prompt_embeds = np.concatenate(clip_chunks, 0)
+        mpnet = np.concatenate(mpnet_chunks, 0) if mpnet_chunks else None
+        if self.cache_dir:
+            os.makedirs(self.cache_dir, exist_ok=True)
+            data = {"prompt_embeds": prompt_embeds}
+            if mpnet is not None:
+                data["mpnet"] = mpnet
+            np.savez(path, **data)
+        return prompt_embeds, mpnet

@@ -1,0 +1,132 @@
+"""Bilevel fine-tuning: lower DDPM+distill step interleaved with an upper
+ESD-style concept-suppression step on a second optimizer.
+
+Reference: BilevelUnetFineTuner (trainer.py:2577-3001), Nudity variant
+(:3004-3016), DreamBooth variant (:3019-3398). Two optax states over one
+param tree; the upper step fires every ``upper_step_freq`` lower steps
+(host-side control), each step a separately-jitted pure function.
+"""
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import numpy as np
+
+from ..data import DataLoader
+from ..data.datasets import HFDataset, SyntheticDataset
+from ..parallel import replicate, shard_batch
+from ..utils.logging_utils import logger
+from .finetune import FineTuneTrainer
+from .steps import make_upper_step
+
+
+class BilevelFineTuneTrainer(FineTuneTrainer):
+    upper_dataset_name = "rezashkv/controlled_distillation"
+    upper_style_filter_key = "erase_concept"  # e.g. "Van Gogh" / "Monet" / "Picasso"
+
+    def init_datasets(self):
+        super().init_datasets()
+        self.init_upper_dataset()
+
+    def init_upper_dataset(self):
+        cfg = self.config
+        if isinstance(self.dataset, SyntheticDataset):
+            ds = SyntheticDataset(
+                n=cfg.get_path("data.max_train_samples") or 64,
+                resolution=cfg.get_path("data.resolution", 16),
+                seed=self.seed + 7,
+            )
+        else:
+            ds = HFDataset(
+                cfg.get_path("data.upper_dataset_name", self.upper_dataset_name),
+                style_filter=cfg.get(self.upper_style_filter_key),
+                cache_dir=cfg.get("cache_dir"),
+            )
+        self.upper_dataset = ds
+        bs = int(cfg.get_path("data.dataloader.train_batch_size", 8))
+        self.upper_loader = DataLoader(
+            list(range(len(ds))), bs, self._make_collate(ds), seed=self.seed + 7
+        )
+
+    def init_optimizers(self):
+        super().init_optimizers()
+        self.upper_tx = self.make_tx(
+            lr_key="unet_unlearning_learning_rate", wd_key="prediction_model_weight_decay"
+        )
+        self.upper_opt_state = replicate(
+            self.upper_tx.init(jax.tree.map(np.asarray, jax.device_get(self.params))),
+            self.mesh,
+        )
+
+    def make_steps(self):
+        super().make_steps()
+        self.upper_step_fn = make_upper_step(
+            self.student, self.teacher, self.vae, self.sched, self.loss_cfg, self.upper_tx
+        )
+
+    def train(self):
+        # wrap run_step with the upper-step cadence (trainer.py:2793-2816)
+        self.upper_step_freq = int(
+            self.config.get_path("training.upper_step_freq", 10) or 10
+        )
+        self._upper_it = iter(self.upper_loader.infinite())
+        super().train()
+
+    def run_step(self, batch, rng) -> Dict:
+        metrics = super().run_step(batch, rng)
+        if (self.global_step + 1) % self.upper_step_freq == 0:
+            upper_batch = shard_batch(next(self._upper_it), self.mesh)
+            upper_rng = jax.random.fold_in(rng, 0xE5D)
+            self.params, self.upper_opt_state, upper_metrics = self.upper_step_fn(
+                self.params, self.upper_opt_state, self.frozen, upper_batch, upper_rng
+            )
+            metrics = {**metrics, **upper_metrics}
+        return metrics
+
+    def save_checkpoint(self):
+        tree = {
+            "params": jax.device_get(self.params),
+            "opt_state": jax.device_get(self.opt_state),
+            "upper_opt_state": jax.device_get(self.upper_opt_state),
+            "step": self.global_step,
+        }
+        from .checkpoint import spec_to_json
+
+        self.ckpt.save(
+            self.global_step, tree,
+            arch_vector=self.arch_vector,
+            spec_json=spec_to_json(self.student_spec),
+        )
+        logger.info("saved checkpoint-%d", self.global_step)
+
+    def maybe_resume(self):
+        mode = self.config.get_path("training.logging.resume_from_checkpoint")
+        if not mode:
+            return
+        step = self.ckpt.latest_step()
+        if step is None:
+            return
+        tree = {
+            "params": jax.device_get(self.params),
+            "opt_state": jax.device_get(self.opt_state),
+            "upper_opt_state": jax.device_get(self.upper_opt_state),
+            "step": 0,
+        }
+        restored = self.ckpt.restore(step, tree)
+        self.params = replicate(restored["params"], self.mesh)
+        self.opt_state = replicate(restored["opt_state"], self.mesh)
+        self.upper_opt_state = replicate(restored["upper_opt_state"], self.mesh)
+        self.global_step = int(restored["step"])
+        logger.info("resumed from checkpoint-%d", step)
+
+
+class NudityBilevelFineTuneTrainer(BilevelFineTuneTrainer):
+    """Upper dataset = controlled_distillation_nudity, no style filter
+    (reference NudityBilevelUnetFineTuner, trainer.py:3004-3016)."""
+
+    upper_dataset_name = "rezashkv/controlled_distillation_nudity"
+
+    def init_upper_dataset(self):
+        self.config[self.upper_style_filter_key] = None
+        super().init_upper_dataset()

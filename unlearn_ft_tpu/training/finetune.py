@@ -1,0 +1,291 @@
+"""Expert fine-tuning trainer (reference UnetFineTuner, trainer.py:2116-2574)
+plus the single-arch and baseline variants (trainer.py:3401-3581).
+
+Student construction mirrors the reference contract exactly:
+- multi-expert: pruning checkpoint's quantizer ``embedding_gs[expert_id]`` is
+  the arch vector; the student is the *materialized* pruned U-Net and the
+  arch vector is saved as a sidecar artifact (trainer.py:2159-2163).
+- single-expert: the hypernet's single learned arch param.
+- baselines: random arch vector at a target ratio / no pruning.
+"""
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import UNet2DConditionModel, build_unet_spec, gate_layout_for_config
+from ..models import materialize_pruned
+from ..data import DataLoader, get_dataset
+from ..data.datasets import SyntheticDataset
+from ..parallel import replicate
+from ..utils.logging_utils import logger
+from .checkpoint import spec_to_json
+from .steps import make_finetune_step
+from .trainer import BaseTrainer, load_diffusers_unet, unet_config_from
+
+
+def load_arch_vector_from_pruning_ckpt(pruning_ckpt_dir: str, expert_id: int) -> np.ndarray:
+    """Read the expert's arch vector from a pruning checkpoint.
+
+    Accepts both this framework's layout (quantizer_embeddings.npy /
+    arch_vector.npy) and the reference's torch artifact
+    (quantizer_embeddings.pt, trainer.py:2159-2161)."""
+    for name in ("quantizer_embeddings.npy",):
+        p = os.path.join(pruning_ckpt_dir, name)
+        if os.path.exists(p):
+            return np.load(p)[expert_id][None, :]
+    for name in ("quantizer_embeddings.pt", os.path.join("quantizer", "quantizer_embeddings.pt")):
+        p = os.path.join(pruning_ckpt_dir, name)
+        if os.path.exists(p):
+            import torch
+
+            emb = torch.load(p, map_location="cpu", weights_only=True)
+            return np.asarray(emb)[expert_id][None, :]
+    raise FileNotFoundError(f"no quantizer embeddings under {pruning_ckpt_dir}")
+
+
+class FineTuneTrainer(BaseTrainer):
+    def init_models(self):
+        cfg = self.config
+        self.unet_cfg = unet_config_from(cfg)
+        self.full_spec = build_unet_spec(self.unet_cfg)
+        self.layout = gate_layout_for_config(self.unet_cfg)
+        self.teacher = UNet2DConditionModel(self.full_spec, dtype=self.dtype)
+
+        # teacher weights: local HF dir or random init (tests)
+        root = str(cfg.get("pretrained_model_name_or_path", ""))
+        unet_dir = os.path.join(root, "unet")
+        key = jax.random.PRNGKey(self.seed)
+        sample = jnp.zeros((1, self.unet_cfg.sample_size, self.unet_cfg.sample_size,
+                            self.unet_cfg.in_channels))
+        ctx = jnp.zeros((1, 7, self.unet_cfg.cross_attention_dim))
+        if os.path.isdir(unet_dir):
+            teacher_params = load_diffusers_unet(unet_dir, self.full_spec)
+        else:
+            teacher_params = self.teacher.init(key, sample, jnp.array([0]), ctx)["params"]
+
+        arch_vector = self._resolve_arch_vector()
+        if arch_vector is not None:
+            self.arch_vector = arch_vector
+            self.student_spec, student_params = materialize_pruned(
+                self.full_spec, self.layout, teacher_params, arch_vector
+            )
+            np.save(os.path.join(self.logging_dir, "arch_vector.npy"), arch_vector)
+        else:  # no-pruning baseline: student is a copy of the teacher
+            self.arch_vector = None
+            self.student_spec = self.full_spec
+            student_params = teacher_params
+        self.student = UNet2DConditionModel(self.student_spec, dtype=self.dtype)
+
+        if cfg.get("random_init"):
+            student_params = UNet2DConditionModel(self.student_spec).init(
+                jax.random.PRNGKey(self.seed + 1), sample, jnp.array([0]), ctx
+            )["params"]
+
+        self.build_frozen_towers()
+
+        n_teacher = sum(np.asarray(x).size for x in jax.tree.leaves(teacher_params))
+        n_student = sum(np.asarray(x).size for x in jax.tree.leaves(student_params))
+        logger.info(
+            "teacher params: %.1fM | student params: %.1fM (%.1f%%)",
+            n_teacher / 1e6, n_student / 1e6, 100.0 * n_student / n_teacher,
+        )
+
+        # deep-copy: materialize_pruned shares unsliced leaves with the
+        # teacher tree, and the train step donates the student params —
+        # aliased buffers would invalidate the frozen teacher
+        self.params = replicate(jax.tree.map(np.copy, student_params), self.mesh)
+        self.frozen = replicate(
+            {"teacher": jax.tree.map(jnp.asarray, teacher_params),
+             "vae": self.vae_params},
+            self.mesh,
+        )
+
+    def _resolve_arch_vector(self) -> Optional[np.ndarray]:
+        cfg = self.config
+        if cfg.get("pruning_ckpt_dir"):
+            if cfg.get("pruning_type", "multi-expert") == "multi-expert":
+                assert cfg.get("expert_id") is not None, "expert_id required"
+                return load_arch_vector_from_pruning_ckpt(
+                    cfg.pruning_ckpt_dir, int(cfg.expert_id)
+                )
+            # single-expert: the hypernet's learned single arch param
+            p = os.path.join(cfg.pruning_ckpt_dir, "arch_vector.npy")
+            if os.path.exists(p):
+                return np.load(p)
+            p = os.path.join(cfg.pruning_ckpt_dir, "hypernet", "arch.npy")
+            if os.path.exists(p):
+                return np.load(p)
+            raise FileNotFoundError("single-expert arch vector not found")
+        ratio = cfg.get_path("model.prediction_model.random_pruning_ratio")
+        if ratio:
+            return self.layout.random_arch_vector(float(ratio), seed=self.seed)
+        return None
+
+    # ---- data ---------------------------------------------------------------
+    def init_datasets(self):
+        cfg = self.config
+        ds = get_dataset(cfg)
+        self.dataset = ds
+        bs = int(cfg.get_path("data.dataloader.train_batch_size", 8))
+        self.train_loader = DataLoader(
+            list(range(len(ds))), bs, self._make_collate(ds), seed=self.seed
+        )
+
+    def _make_collate(self, ds):
+        cfg = self.config
+        resolution = int(cfg.get_path("model.prediction_model.resolution", 512))
+        seq = int(cfg.get_path("data.synthetic_seq_len", 7))
+        xdim = self.unet_cfg.cross_attention_dim
+        synthetic = isinstance(ds, SyntheticDataset)
+
+        if synthetic:
+            res = int(cfg.get_path("data.resolution", 16))
+            rng = np.random.default_rng(self.seed)
+
+            def collate(indices):
+                b = len(indices)
+                return {
+                    "pixel_values": rng.standard_normal((b, res, res, 3)).astype(np.float32),
+                    "prompt_embeds": rng.standard_normal((b, seq, xdim)).astype(np.float32),
+                    "empty_prompt_embeds": np.zeros((b, seq, xdim), np.float32),
+                    "mpnet_embeddings": rng.standard_normal((b, 768)).astype(np.float32),
+                }
+
+            return collate
+
+        from ..data.preprocess import image_transform
+
+        transform = image_transform(
+            resolution,
+            center_crop=bool(cfg.get_path("data.dataloader.center_crop", False)),
+            random_flip=bool(cfg.get_path("data.dataloader.random_flip", True)),
+        )
+        embeds = self._precompute_text_embeddings([r.caption for r in ds.records])
+
+        def collate(indices):
+            from PIL import Image
+
+            pixels, pe, ee = [], [], []
+            for i in indices:
+                rec = ds.records[i]
+                img = Image.open(rec.image)
+                pixels.append(transform(img))
+                pe.append(embeds["prompt_embeds"][i])
+                ee.append(embeds["empty_prompt_embeds"])
+            return {
+                "pixel_values": np.stack(pixels),
+                "prompt_embeds": np.stack(pe),
+                "empty_prompt_embeds": np.stack(ee),
+            }
+
+        return collate
+
+    def _precompute_text_embeddings(self, captions):
+        """Tokenize + encode all captions once with the Flax CLIP tower."""
+        assert self.text_params is not None, (
+            "text encoder weights required for real datasets"
+        )
+        from transformers import CLIPTokenizer
+
+        root = str(self.config.get("pretrained_model_name_or_path", ""))
+        tok = CLIPTokenizer.from_pretrained(os.path.join(root, "tokenizer"))
+
+        @jax.jit
+        def encode(ids):
+            hidden, _ = self.text_encoder.apply({"params": self.text_params}, ids)
+            return hidden
+
+        out = []
+        bs = 256
+        for i in range(0, len(captions), bs):
+            ids = tok(
+                captions[i : i + bs], padding="max_length", truncation=True,
+                max_length=tok.model_max_length, return_tensors="np",
+            ).input_ids
+            out.append(np.asarray(encode(jnp.asarray(ids))))
+        empty_ids = tok(
+            [""], padding="max_length", truncation=True,
+            max_length=tok.model_max_length, return_tensors="np",
+        ).input_ids
+        empty = np.asarray(encode(jnp.asarray(empty_ids)))[0]
+        return {"prompt_embeds": np.concatenate(out, 0), "empty_prompt_embeds": empty}
+
+    # ---- optimization ---------------------------------------------------------
+    def init_optimizers(self):
+        self.tx = self.make_tx()
+        self.opt_state = replicate(
+            self.tx.init(jax.tree.map(np.asarray, jax.device_get(self.params))), self.mesh
+        )
+
+    def make_steps(self):
+        self.step_fn = make_finetune_step(
+            self.student, self.teacher, self.vae, self.sched, self.loss_cfg, self.tx
+        )
+
+    def run_step(self, batch, rng) -> Dict:
+        self.params, self.opt_state, metrics = self.step_fn(
+            self.params, self.opt_state, self.frozen, batch, rng
+        )
+        return metrics
+
+    # ---- checkpointing ----------------------------------------------------------
+    def save_checkpoint(self):
+        tree = {
+            "params": jax.device_get(self.params),
+            "opt_state": jax.device_get(self.opt_state),
+            "step": self.global_step,
+        }
+        self.ckpt.save(
+            self.global_step, tree,
+            arch_vector=self.arch_vector,
+            spec_json=spec_to_json(self.student_spec),
+        )
+        logger.info("saved checkpoint-%d", self.global_step)
+
+    def maybe_resume(self):
+        mode = self.config.get_path("training.logging.resume_from_checkpoint")
+        if not mode:
+            return
+        step = self.ckpt.latest_step()
+        if step is None:
+            return
+        tree = {
+            "params": jax.device_get(self.params),
+            "opt_state": jax.device_get(self.opt_state),
+            "step": 0,
+        }
+        restored = self.ckpt.restore(step, tree)
+        self.params = replicate(restored["params"], self.mesh)
+        self.opt_state = replicate(restored["opt_state"], self.mesh)
+        self.global_step = int(restored["step"])
+        logger.info("resumed from checkpoint-%d", step)
+
+
+class SingleArchFineTuneTrainer(FineTuneTrainer):
+    """pruning_type=single-expert (reference SingleArchUnetFinetuner)."""
+
+    def _resolve_arch_vector(self):
+        self.config["pruning_type"] = "single-expert"
+        return super()._resolve_arch_vector()
+
+
+class BaselineFineTuneTrainer(FineTuneTrainer):
+    """Baselines (reference BaselineUnetFineTuner, trainer.py:3482-3581):
+    baseline_type in {random, no-pruning, structural}."""
+
+    def _resolve_arch_vector(self):
+        bt = self.config.get("baseline_type", "no-pruning")
+        if bt == "random":
+            ratio = float(
+                self.config.get_path("model.prediction_model.random_pruning_ratio", 0.7)
+            )
+            return self.layout.random_arch_vector(ratio, seed=self.seed)
+        if bt == "structural":
+            p = os.path.join(str(self.config.get("pruning_ckpt_dir", "")), "arch_vector.npy")
+            return np.load(p)
+        return None  # no-pruning

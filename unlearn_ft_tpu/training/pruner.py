@@ -1,0 +1,184 @@
+"""APTP pruning trainer (reference UnetPruner, trainer.py:759-1470): trains
+the prompt hypernet + arch-codebook quantizer with contrastive / resource /
+distillation / block losses; the U-Net stays frozen and is steered by gates.
+"""
+from __future__ import annotations
+
+import os
+from dataclasses import replace
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data import DataLoader, get_dataset
+from ..data.datasets import SyntheticDataset
+from ..models import UNet2DConditionModel, build_unet_spec, gate_layout_for_config
+from ..models.hypernet import HyperStructure
+from ..models.quantizer import QuantizerConfig
+from ..parallel import replicate
+from ..utils import macs as macs_lib
+from ..utils.logging_utils import logger
+from .finetune import FineTuneTrainer
+from .steps import make_pruner_step
+from .trainer import load_diffusers_unet, unet_config_from
+
+
+class PruningTrainer(FineTuneTrainer):
+    def init_models(self):
+        cfg = self.config
+        self.unet_cfg = unet_config_from(cfg)
+        self.full_spec = build_unet_spec(self.unet_cfg)
+        self.layout = gate_layout_for_config(self.unet_cfg)
+        self.unet = UNet2DConditionModel(self.full_spec, dtype=self.dtype)
+        self.student = self.teacher = self.unet
+        self.student_spec = self.full_spec
+        self.arch_vector = None
+
+        root = str(cfg.get("pretrained_model_name_or_path", ""))
+        unet_dir = os.path.join(root, "unet")
+        key = jax.random.PRNGKey(self.seed)
+        sample = jnp.zeros((1, self.unet_cfg.sample_size, self.unet_cfg.sample_size,
+                            self.unet_cfg.in_channels))
+        ctx = jnp.zeros((1, 7, self.unet_cfg.cross_attention_dim))
+        if os.path.isdir(unet_dir):
+            unet_params = load_diffusers_unet(unet_dir, self.full_spec)
+        else:
+            unet_params = self.unet.init(key, sample, jnp.array([0]), ctx)["params"]
+
+        g = cfg.get_path
+        self.hypernet = HyperStructure(
+            self.layout,
+            input_dim=int(g("model.hypernet.input_dim", 768)),
+            wn_flag=bool(g("model.hypernet.weight_norm", True)),
+            linear_bias=bool(g("model.hypernet.linear_bias", False)),
+            single_arch_param=bool(g("model.hypernet.single_arch_param", False)),
+            dtype=self.dtype,
+        )
+        hkey = jax.random.PRNGKey(self.seed + 2)
+        if self.hypernet.single_arch_param:
+            hparams = self.hypernet.init(hkey)["params"]
+        else:
+            hparams = self.hypernet.init(
+                hkey, jnp.zeros((1, self.hypernet.input_dim))
+            )["params"]
+
+        self.qcfg = QuantizerConfig(
+            layout=self.layout,
+            n_e=int(g("model.quantizer.num_arch_vq_codebook_embeddings", 8)),
+            temperature=float(g("model.quantizer.quantizer_T", 0.4)),
+            base=float(g("model.quantizer.quantizer_base", 2.0)),
+            non_zero_width=bool(g("model.quantizer.non_zero_width", True)),
+            optimal_transport=bool(g("model.quantizer.optimal_transport", True)),
+            resource_aware_normalization=bool(
+                g("model.quantizer.resource_aware_normalization", True)
+            ),
+            depth_order=tuple(g("model.quantizer.depth_order"))
+            if g("model.quantizer.depth_order") else None,
+        )
+        qparams = self.qcfg.init_params(jax.random.PRNGKey(self.seed + 3))
+        qstate = self.qcfg.init_state(qparams)
+
+        # prunable-MACs template + pruning-target rescale (count_macs /
+        # update_pruning_target, trainer.py:1323-1373)
+        table = macs_lib.unet_macs(self.full_spec)
+        norm = table["prunable"]
+        prunable_list = [
+            [v / norm for v in sub] for sub in table["per_submodule_prunable"]
+        ]
+        qstate = self.qcfg.set_prunable_macs_template(qstate, prunable_list)
+        ones = self.layout.ones(1)
+        full_cur = float(
+            macs_lib.calc_macs(self.full_spec, ones, static_table=table)["cur_prunable"][0]
+        )
+        p = self.loss_cfg.resource_target
+        p_actual = 1.0 - (1.0 - p) * table["total"] / full_cur
+        self.loss_cfg = replace(self.loss_cfg, resource_target=float(p_actual))
+        logger.info("pruning target rescaled: %.3f -> %.3f", p, p_actual)
+
+        self.build_frozen_towers()
+
+        self.trainable = replicate({"hypernet": hparams, "quantizer": qparams}, self.mesh)
+        self.qstate = replicate(qstate, self.mesh)
+        self.frozen = replicate(
+            {"unet": jax.tree.map(jnp.asarray, unet_params), "vae": self.vae_params},
+            self.mesh,
+        )
+
+    def init_optimizers(self):
+        g = self.config.get_path
+        from .optim import make_optimizer
+
+        self.tx = make_optimizer(
+            learning_rate=float(g("training.optim.hypernet_learning_rate", 1e-3)),
+            weight_decay=float(g("training.optim.hypernet_weight_decay", 0.0) or 0.0),
+            beta1=float(g("training.optim.adam_beta1", 0.9)),
+            beta2=float(g("training.optim.adam_beta2", 0.999)),
+            eps=float(g("training.optim.adam_epsilon", 1e-8)),
+            lr_scheduler=g("training.optim.lr_scheduler", "constant_with_warmup"),
+            warmup_steps=int(g("training.optim.lr_warmup_steps", 0) or 0),
+            total_steps=g("training.max_train_steps"),
+        )
+        self.opt_state = replicate(
+            self.tx.init(jax.tree.map(np.asarray, jax.device_get(self.trainable))),
+            self.mesh,
+        )
+
+    def make_steps(self):
+        self.step_fn = make_pruner_step(
+            self.unet, self.hypernet, self.qcfg, self.vae, self.layout, self.full_spec,
+            self.sched, self.loss_cfg, self.tx,
+            seq_kv=int(self.config.get_path("data.synthetic_seq_len", 77)),
+            pretrain=bool(self.config.get_path("training.hypernet_pretraining", False)),
+        )
+
+    def run_step(self, batch, rng) -> Dict:
+        self.trainable, self.opt_state, self.qstate, metrics = self.step_fn(
+            self.trainable, self.opt_state, self.qstate, self.frozen, batch, rng
+        )
+        return {
+            k: v for k, v in metrics.items()
+            if k not in ("batch_resource_ratios", "expert_indices")
+        }
+
+    def save_checkpoint(self):
+        tree = {
+            "trainable": jax.device_get(self.trainable),
+            "opt_state": jax.device_get(self.opt_state),
+            "qstate_embedding_gs": jax.device_get(self.qstate["embedding_gs"]),
+            "step": self.global_step,
+        }
+        self.ckpt.save(
+            self.global_step, tree,
+            extra_files={},
+        )
+        # the artifact every downstream stage consumes (trainer.py:2159-2161)
+        np.save(
+            os.path.join(self.ckpt.path(self.global_step), "quantizer_embeddings.npy"),
+            np.asarray(jax.device_get(self.qstate["embedding_gs"])),
+        )
+        logger.info("saved pruning checkpoint-%d", self.global_step)
+
+    def maybe_resume(self):
+        mode = self.config.get_path("training.logging.resume_from_checkpoint")
+        if not mode:
+            return
+        step = self.ckpt.latest_step()
+        if step is None:
+            return
+        tree = {
+            "trainable": jax.device_get(self.trainable),
+            "opt_state": jax.device_get(self.opt_state),
+            "qstate_embedding_gs": jax.device_get(self.qstate["embedding_gs"]),
+            "step": 0,
+        }
+        restored = self.ckpt.restore(step, tree)
+        self.trainable = replicate(restored["trainable"], self.mesh)
+        self.opt_state = replicate(restored["opt_state"], self.mesh)
+        self.qstate = replicate(
+            dict(jax.device_get(self.qstate), embedding_gs=restored["qstate_embedding_gs"]),
+            self.mesh,
+        )
+        self.global_step = int(restored["step"])
+        logger.info("resumed from checkpoint-%d", step)

@@ -1,0 +1,257 @@
+"""Base trainer: config -> models/mesh/data/optimizer/checkpoints/loop.
+
+TPU-native counterpart of the reference Trainer ABC
+(pdm/training/trainer.py:69-756). Differences by design:
+
+- no accelerate: the mesh + sharded jit steps replace DDP; mixed precision is
+  a dtype policy on the modules; grad sync is XLA's psum.
+- models load from *local* HF-layout directories via the host-side converters
+  (models/convert.py) or are randomly initialized from config (tests/smoke).
+- text embeddings are precomputed per dataset (data/preprocess.py), so the
+  hot loop only moves pixels.
+"""
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import (
+    UNet2DConditionModel,
+    UNetConfig,
+    build_unet_spec,
+    gate_layout_for_config,
+)
+from ..models.clip_text import CLIPTextConfig, CLIPTextModel
+from ..models.mpnet import MPNetConfig, MPNetModel
+from ..models.vae import AutoencoderKL, VAEConfig
+from ..parallel import create_mesh, replicate, shard_batch
+from ..schedulers import DiffusionSchedule
+from ..utils.config import Config
+from ..utils.logging_utils import Tracker, init_logging_dir, logger
+from .checkpoint import CheckpointManager, spec_to_json
+from .optim import make_optimizer
+from .steps import LossConfig
+
+
+def unet_config_from(config: Config) -> UNetConfig:
+    """Build a UNetConfig from the training YAML: SD-2.1 defaults + the
+    reference's block-type keys + optional `unet_config` field overrides."""
+    pm = config.model.prediction_model
+    kwargs: Dict = {}
+    if pm.get("unet_down_blocks"):
+        kwargs["down_block_types"] = tuple(pm.unet_down_blocks)
+    if pm.get("unet_mid_block"):
+        kwargs["mid_block_type"] = pm.unet_mid_block
+    if pm.get("unet_up_blocks"):
+        kwargs["up_block_types"] = tuple(pm.unet_up_blocks)
+    kwargs["gated_ff"] = pm.get("gated_ff", True)
+    kwargs["ff_gate_width"] = pm.get("ff_gate_width", 32)
+    for k, v in (pm.get("unet_config") or {}).items():
+        kwargs[k] = tuple(v) if isinstance(v, list) else v
+    return UNetConfig(**kwargs)
+
+
+def load_diffusers_unet(path: str, spec):
+    from ..models.convert import convert_unet, load_torch_state_dict
+
+    for name in ("diffusion_pytorch_model.safetensors", "diffusion_pytorch_model.bin"):
+        p = os.path.join(path, name)
+        if os.path.exists(p):
+            return convert_unet(load_torch_state_dict(p), spec)
+    raise FileNotFoundError(f"no unet weights under {path}")
+
+
+class BaseTrainer:
+    """Owns config/mesh/schedule/logging/checkpoints and the train loop
+    scaffold; subclasses implement init_models/init_datasets/make_steps/
+    train_step_fn dispatch."""
+
+    def __init__(self, config: Config):
+        self.config = config
+        self.seed = int(config.get("seed", 43))
+        self.rng = jax.random.PRNGKey(self.seed)
+        self.mesh = create_mesh(config.get("num_devices"))
+        self.dtype = {
+            "bf16": jnp.bfloat16, "fp16": jnp.float16,
+        }.get(config.get("mixed_precision") or "no", jnp.float32)
+
+        self.logging_dir = init_logging_dir(config)
+        self.tracker = Tracker(config, self.logging_dir)
+        self.ckpt = CheckpointManager(
+            self.logging_dir,
+            config.get_path("training.logging.checkpoints_total_limit"),
+        )
+
+        pm = config.model.prediction_model
+        self.sched = DiffusionSchedule(
+            prediction_type=pm.get("prediction_type", "v_prediction")
+        )
+        self.loss_cfg = self._make_loss_config()
+        self.global_step = 0
+
+        self.init_models()
+        self.init_datasets()
+        self.init_optimizers()
+        self.make_steps()
+
+    # ---- config plumbing ---------------------------------------------------
+    def _make_loss_config(self) -> LossConfig:
+        g = self.config.get_path
+        pm = self.config.model.prediction_model
+        return LossConfig(
+            snr_gamma=g("training.losses.diffusion_loss.snr_gamma", 5.0),
+            diffusion_weight=g("training.losses.diffusion_loss.weight", 1.0),
+            distillation_weight=g("training.losses.distillation_loss.weight", 0.0),
+            block_weight=g("training.losses.block_loss.weight", 0.0),
+            upper_distillation_weight=g(
+                "training.losses.distillation_loss.upper_weight", 1.0
+            ),
+            upper_block_weight=g("training.losses.block_loss.upper_weight", 0.0),
+            contrastive_weight=g("training.losses.contrastive_loss.weight", 10.0),
+            resource_weight=g("training.losses.resource_loss.weight", 2.0),
+            resource_target=g("training.losses.resource_loss.pruning_target", 0.7),
+            resource_type=g("training.losses.resource_loss.loss_type", "log"),
+            std_weight=g("training.losses.std_loss.weight", 0.0),
+            max_weight=g("training.losses.max_loss.weight", 0.0),
+            noise_offset=pm.get("noise_offset", 0.0) or 0.0,
+            input_perturbation=pm.get("input_perturbation", 0.0) or 0.0,
+            max_scheduler_steps=pm.get("max_scheduler_steps"),
+        )
+
+    def make_tx(self, lr_key="prediction_model_learning_rate",
+                wd_key="prediction_model_weight_decay"):
+        g = self.config.get_path
+        return make_optimizer(
+            learning_rate=float(g(f"training.optim.{lr_key}", 1e-6)),
+            weight_decay=float(g(f"training.optim.{wd_key}", 0.0) or 0.0),
+            beta1=float(g("training.optim.adam_beta1", 0.9)),
+            beta2=float(g("training.optim.adam_beta2", 0.999)),
+            eps=float(g("training.optim.adam_epsilon", 1e-8)),
+            lr_scheduler=g("training.optim.lr_scheduler", "constant_with_warmup"),
+            warmup_steps=int(g("training.optim.lr_warmup_steps", 0) or 0),
+            total_steps=self.config.get_path("training.max_train_steps"),
+            max_grad_norm=g("training.optim.max_grad_norm"),
+        )
+
+    # ---- shared model builders ----------------------------------------------
+    def build_frozen_towers(self):
+        """VAE + CLIP (+MPNet) from local HF dirs, or tiny random models when
+        the config carries explicit tiny configs (tests / smoke runs)."""
+        cfg = self.config
+        key = jax.random.PRNGKey(0)
+
+        vae_cfg_dict = cfg.model.get("vae_config")
+        if vae_cfg_dict:
+            vae_cfg = VAEConfig(**{
+                k: tuple(v) if isinstance(v, list) else v for k, v in vae_cfg_dict.items()
+            })
+        else:
+            vae_cfg = VAEConfig()
+        self.vae = AutoencoderKL(vae_cfg, dtype=self.dtype)
+
+        root = cfg.get("pretrained_model_name_or_path", "")
+        vae_dir = os.path.join(str(root), "vae")
+        if os.path.isdir(vae_dir):
+            from ..models.convert import convert_vae, load_torch_state_dict
+
+            for name in ("diffusion_pytorch_model.safetensors", "diffusion_pytorch_model.bin"):
+                p = os.path.join(vae_dir, name)
+                if os.path.exists(p):
+                    self.vae_params = convert_vae(
+                        load_torch_state_dict(p), vae_cfg.block_out_channels,
+                        vae_cfg.layers_per_block,
+                    )
+                    break
+        else:
+            res = 2 ** (len(vae_cfg.block_out_channels) - 1) * 2
+            self.vae_params = self.vae.init(
+                key, jnp.zeros((1, res * 4, res * 4, 3)), key
+            )["params"]
+
+        te_cfg_dict = cfg.model.get("text_encoder_config")
+        clip_cfg = CLIPTextConfig(**(te_cfg_dict or {}))
+        self.text_encoder = CLIPTextModel(clip_cfg, dtype=self.dtype)
+        te_dir = os.path.join(str(root), "text_encoder")
+        if os.path.isdir(te_dir):
+            from ..models.convert import convert_clip_text, load_torch_state_dict
+
+            for name in ("model.safetensors", "pytorch_model.bin"):
+                p = os.path.join(te_dir, name)
+                if os.path.exists(p):
+                    self.text_params = convert_clip_text(
+                        load_torch_state_dict(p), clip_cfg.num_hidden_layers
+                    )
+                    break
+        else:
+            self.text_params = None  # tests use synthetic prompt embeddings
+
+        self.mpnet_cfg = MPNetConfig()
+        self.mpnet = MPNetModel(self.mpnet_cfg, dtype=self.dtype)
+        self.mpnet_params = None
+
+    # ---- overridables -------------------------------------------------------
+    def init_models(self):
+        raise NotImplementedError
+
+    def init_datasets(self):
+        raise NotImplementedError
+
+    def init_optimizers(self):
+        raise NotImplementedError
+
+    def make_steps(self):
+        raise NotImplementedError
+
+    def run_step(self, batch, rng) -> Dict:
+        raise NotImplementedError
+
+    def save_checkpoint(self):
+        pass
+
+    def maybe_resume(self):
+        pass
+
+    # ---- the loop -----------------------------------------------------------
+    def train(self):
+        cfg = self.config
+        max_steps = int(cfg.get_path("training.max_train_steps", 10))
+        ckpt_steps = int(cfg.get_path("training.checkpoint_steps", 0) or 0)
+        val_steps = int(cfg.get_path("training.validation_steps", 0) or 0)
+        self.maybe_resume()
+
+        it = iter(self.train_loader.infinite())
+        t0 = time.time()
+        samples = 0
+        while self.global_step < max_steps:
+            batch = shard_batch(next(it), self.mesh)
+            step_rng = jax.random.fold_in(self.rng, self.global_step)
+            metrics = self.run_step(batch, step_rng)
+            samples += int(cfg.get_path("data.dataloader.train_batch_size", 8))
+            self.global_step += 1
+
+            if self.global_step % int(cfg.get_path("training.log_steps", 10) or 10) == 0:
+                metrics = {k: v for k, v in metrics.items()}
+                dt = time.time() - t0
+                metrics["samples_per_sec"] = samples / max(dt, 1e-9)
+                self.tracker.log(metrics, step=self.global_step)
+                logger.info(
+                    "step %d | %s", self.global_step,
+                    " ".join(
+                        f"{k}={float(v):.4f}" for k, v in metrics.items()
+                        if np.ndim(v) == 0
+                    ),
+                )
+            if val_steps and self.global_step % val_steps == 0:
+                self.validate()
+            if ckpt_steps and self.global_step % ckpt_steps == 0:
+                self.save_checkpoint()
+        self.save_checkpoint()
+        self.tracker.finish()
+
+    def validate(self):
+        pass
