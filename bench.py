@@ -1,0 +1,174 @@
+"""Benchmark: bilevel fine-tune throughput of the APTP-pruned SD-2.1 expert.
+
+Measures the framework's north-star metric (BASELINE.md): samples/sec/chip of
+the bilevel lower training step (VAE encode + teacher fwd + pruned-student
+fwd/bwd + distillation losses + AdamW) at 512px on real SD-2.1 shapes.
+Weights are randomly/zeros initialized — throughput is weight-independent —
+and the student is a ~55%-MACs materialized expert, mirroring the reference's
+expert-2 checkpoint.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+``vs_baseline`` is measured against an estimated 10 samples/sec/GPU for the
+reference's torch/accelerate loop on A100 (the repo publishes no numbers —
+BASELINE.json published:{}; see BASELINE.md).
+"""
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+EST_REFERENCE_A100_SAMPLES_PER_SEC = 10.0
+
+
+def build(args):
+    import jax
+    import jax.numpy as jnp
+
+    from unlearn_ft_tpu.models import (
+        UNet2DConditionModel,
+        UNetConfig,
+        build_unet_spec,
+        gate_layout_for_config,
+        materialize_pruned,
+        sd21_unet_config,
+    )
+    from unlearn_ft_tpu.models.vae import AutoencoderKL, VAEConfig
+    from unlearn_ft_tpu.schedulers import DiffusionSchedule
+    from unlearn_ft_tpu.training.optim import make_optimizer
+    from unlearn_ft_tpu.training.steps import LossConfig, make_finetune_step
+
+    dtype = jnp.bfloat16 if not args.smoke else jnp.float32
+    if args.smoke:
+        cfg = UNetConfig(
+            sample_size=8, block_out_channels=(16, 32), layers_per_block=2,
+            num_attention_heads=(2, 4), cross_attention_dim=16, norm_num_groups=4,
+            ff_gate_width=4, upcast_attention=False,
+            down_block_types=("CrossAttnDownBlock2DHalfGated", "DownBlock2DHalfGated"),
+            up_block_types=("UpBlock2DHalfGated", "CrossAttnUpBlock2DHalfGated"),
+        )
+        vae_cfg = VAEConfig(block_out_channels=(8, 16), layers_per_block=1, norm_num_groups=4)
+        resolution, seq, xdim = 16, 7, 16
+    else:
+        cfg = sd21_unet_config()
+        vae_cfg = VAEConfig()
+        resolution, seq, xdim = args.resolution, 77, 1024
+
+    spec = build_unet_spec(cfg)
+    layout = gate_layout_for_config(cfg)
+
+    # zeros-init via shape inference (no giant RNG graphs); throughput only
+    teacher_mod = UNet2DConditionModel(spec, dtype=dtype)
+    sample = jnp.zeros((1, resolution // 8 if not args.smoke else cfg.sample_size,
+                        resolution // 8 if not args.smoke else cfg.sample_size,
+                        cfg.in_channels), dtype)
+    ctx = jnp.zeros((1, seq, xdim), dtype)
+    t_shape = jax.eval_shape(
+        lambda k: teacher_mod.init(k, sample, jnp.zeros((1,), jnp.int32), ctx), jax.random.PRNGKey(0)
+    )["params"]
+    rng = np.random.default_rng(0)
+    teacher_params = jax.tree.map(
+        lambda s: (rng.standard_normal(s.shape) * 0.02).astype(np.float32), t_shape
+    )
+
+    arch = layout.random_arch_vector(args.keep_ratio, seed=0)
+    student_spec, student_params = materialize_pruned(spec, layout, teacher_params, arch)
+    student_mod = UNet2DConditionModel(student_spec, dtype=dtype)
+
+    vae = AutoencoderKL(vae_cfg, dtype=dtype)
+    v_shape = jax.eval_shape(
+        lambda k: vae.init(k, jnp.zeros((1, resolution, resolution, 3), dtype), k),
+        jax.random.PRNGKey(0),
+    )["params"]
+    vae_params = jax.tree.map(
+        lambda s: (rng.standard_normal(s.shape) * 0.02).astype(np.float32), v_shape
+    )
+
+    sched = DiffusionSchedule()
+    loss_cfg = LossConfig()
+    tx = make_optimizer(1e-6)
+    step = make_finetune_step(student_mod, teacher_mod, vae, sched, loss_cfg, tx)
+
+    n_t = sum(x.size for x in jax.tree.leaves(teacher_params))
+    n_s = sum(np.asarray(x).size for x in jax.tree.leaves(student_params))
+    print(f"# teacher {n_t/1e6:.0f}M params, student {n_s/1e6:.0f}M ({100*n_s/n_t:.0f}%)",
+          file=sys.stderr)
+    return step, tx, student_params, teacher_params, vae_params, resolution, seq, xdim
+
+
+def run(args):
+    import jax
+    import jax.numpy as jnp
+
+    step, tx, student_params, teacher_params, vae_params, resolution, seq, xdim = build(args)
+
+    batch_sizes = [args.batch_size] if args.batch_size else ([2] if args.smoke else [16, 8, 4, 2, 1])
+    rng = np.random.default_rng(1)
+    best = None
+    for bs in batch_sizes:
+        try:
+            params = jax.tree.map(jnp.asarray, student_params)
+            opt_state = tx.init(params)
+            frozen = {
+                "teacher": jax.tree.map(jnp.asarray, teacher_params),
+                "vae": jax.tree.map(jnp.asarray, vae_params),
+            }
+            batch = {
+                "pixel_values": jnp.asarray(
+                    rng.standard_normal((bs, resolution, resolution, 3)), jnp.float32
+                ),
+                "prompt_embeds": jnp.asarray(
+                    rng.standard_normal((bs, seq, xdim)), jnp.float32
+                ),
+            }
+            # warmup/compile
+            params, opt_state, m = step(params, opt_state, frozen, batch, jax.random.PRNGKey(0))
+            jax.block_until_ready(m["loss"])
+            n_steps = args.steps
+            t0 = time.perf_counter()
+            for i in range(n_steps):
+                params, opt_state, m = step(
+                    params, opt_state, frozen, batch, jax.random.PRNGKey(i + 1)
+                )
+            jax.block_until_ready(m["loss"])
+            dt = time.perf_counter() - t0
+            sps = bs * n_steps / dt
+            print(f"# batch {bs}: {sps:.3f} samples/sec ({dt/n_steps*1e3:.1f} ms/step)",
+                  file=sys.stderr)
+            if best is None or sps > best:
+                best = sps
+        except Exception as e:  # OOM at large batch: fall through to smaller
+            print(f"# batch {bs} failed: {type(e).__name__}: {str(e)[:200]}", file=sys.stderr)
+            continue
+    if best is None:
+        raise RuntimeError("all batch sizes failed")
+    return best
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--smoke", action="store_true", help="tiny shapes (CPU sanity)")
+    p.add_argument("--resolution", type=int, default=512)
+    p.add_argument("--keep-ratio", type=float, default=0.55)
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--steps", type=int, default=10)
+    args = p.parse_args()
+
+    if args.smoke:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    value = run(args)
+    print(json.dumps({
+        "metric": "bilevel_train_samples_per_sec_per_chip",
+        "value": round(float(value), 4),
+        "unit": "samples/sec/chip",
+        "vs_baseline": round(float(value) / EST_REFERENCE_A100_SAMPLES_PER_SEC, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,115 @@
+"""Generate FID images from a fine-tuned expert checkpoint.
+
+Parity with scripts/metrics/generate_fid_images.py:33-157: loads the expert
+(arch vector + weights), runs 50-step PNDM at 512px over COCO-val captions,
+saves each image as uint8 .npy named by caption. Work is sharded across hosts
+(jax.process_index) and batched per device; optionally applies an erasure
+state-dict overlay (ESD/UCE outputs) before sampling.
+"""
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+import numpy as np
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--checkpoint_dir", required=True, help="checkpoint-N dir")
+    p.add_argument("--pretrained_root", required=True,
+                   help="local diffusers dir with vae/ text_encoder/ tokenizer/")
+    p.add_argument("--coco_data_dir", required=True)
+    p.add_argument("--save_dir", required=True)
+    p.add_argument("--num_inference_steps", type=int, default=50)
+    p.add_argument("--guidance_scale", type=float, default=7.5)
+    p.add_argument("--resolution", type=int, default=512)
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--max_images", type=int, default=30000)
+    p.add_argument("--erasure_ckpt_path", type=str, default=None)
+    p.add_argument("--seed", type=int, default=43)
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from unlearn_ft_tpu.data.datasets import CocoCaptions
+    from unlearn_ft_tpu.models.unet import UNet2DConditionModel
+    from unlearn_ft_tpu.models.clip_text import CLIPTextConfig, CLIPTextModel
+    from unlearn_ft_tpu.models.convert import convert_clip_text, convert_vae, load_torch_state_dict
+    from unlearn_ft_tpu.models.vae import AutoencoderKL, VAEConfig
+    from unlearn_ft_tpu.pipelines import SDPipeline
+    from unlearn_ft_tpu.schedulers import DiffusionSchedule
+    from unlearn_ft_tpu.training.checkpoint import CheckpointManager, spec_from_json
+
+    # --- load expert (spec + params from the checkpoint dir) ---------------
+    with open(os.path.join(args.checkpoint_dir, "unet_spec.json")) as f:
+        spec = spec_from_json(f.read())
+    ckpt_root = os.path.dirname(os.path.abspath(args.checkpoint_dir))
+    step = int(os.path.basename(args.checkpoint_dir.rstrip("/")).split("-")[-1])
+    mgr = CheckpointManager(ckpt_root)
+    unet = UNet2DConditionModel(spec, dtype=jnp.bfloat16)
+    # restore with a shape template from spec
+    sample = jnp.zeros((1, args.resolution // 8, args.resolution // 8, spec.in_channels))
+    ctx = jnp.zeros((1, 77, spec.cross_attention_dim))
+    template = jax.eval_shape(
+        lambda k: unet.init(k, sample, jnp.zeros((1,), jnp.int32), ctx), jax.random.PRNGKey(0)
+    )["params"]
+    template = jax.tree.map(lambda s: np.zeros(s.shape, np.float32), template)
+    restored = mgr.restore(step, {"params": template, "step": 0})
+    unet_params = restored["params"]
+
+    if args.erasure_ckpt_path:
+        # overlay an erasure state dict (ESD/UCE output; either torch names or
+        # this framework's npz of flax paths)
+        from unlearn_ft_tpu.baselines.overlay import apply_erasure_overlay
+
+        unet_params = apply_erasure_overlay(unet_params, spec, args.erasure_ckpt_path)
+
+    vae_cfg = VAEConfig()
+    vae = AutoencoderKL(vae_cfg, dtype=jnp.bfloat16)
+    vae_params = convert_vae(load_torch_state_dict(
+        os.path.join(args.pretrained_root, "vae", "diffusion_pytorch_model.safetensors")))
+
+    clip_cfg = CLIPTextConfig()
+    text_encoder = CLIPTextModel(clip_cfg, dtype=jnp.bfloat16)
+    text_params = convert_clip_text(load_torch_state_dict(
+        os.path.join(args.pretrained_root, "text_encoder", "model.safetensors")))
+    from transformers import CLIPTokenizer
+
+    tokenizer = CLIPTokenizer.from_pretrained(os.path.join(args.pretrained_root, "tokenizer"))
+
+    sched = DiffusionSchedule()
+    pipe = SDPipeline(unet, unet_params, vae, vae_params, sched, scheduler_type="pndm",
+                      text_encoder=text_encoder, text_params=text_params, tokenizer=tokenizer)
+
+    # --- captions, sharded across hosts -------------------------------------
+    ds = CocoCaptions(args.coco_data_dir, split="val")
+    seen, captions = set(), []
+    for r in ds.records:  # one caption per image, like the reference protocol
+        if r.image not in seen:
+            seen.add(r.image)
+            captions.append(r.caption)
+    captions = captions[: args.max_images]
+    captions = captions[jax.process_index() :: jax.process_count()]
+
+    os.makedirs(args.save_dir, exist_ok=True)
+    empty = pipe.encode_prompts([""] * args.batch_size)
+    for i in range(0, len(captions), args.batch_size):
+        chunk = captions[i : i + args.batch_size]
+        pe = pipe.encode_prompts(chunk + [""] * (args.batch_size - len(chunk)))
+        imgs = pipe.generate_samples(
+            pe, empty, args.num_inference_steps, args.guidance_scale,
+            args.resolution, args.resolution, seed=args.seed + i,
+        )
+        for j, cap in enumerate(chunk):
+            name = cap.replace("/", " ").strip()[:180]
+            arr = (imgs[j] * 255).astype(np.uint8)
+            np.save(os.path.join(args.save_dir, f"{name}.npy"), arr)
+        print(f"[{jax.process_index()}] {i + len(chunk)}/{len(captions)}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

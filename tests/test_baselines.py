@@ -1,0 +1,129 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from unlearn_ft_tpu.baselines import (
+    apply_neuron_masks,
+    esd_param_mask,
+    make_esd_step,
+    uce_edit,
+    wanda_masks,
+)
+from unlearn_ft_tpu.baselines.concept_prune import collect_ffn_activations, union_masks
+from unlearn_ft_tpu.models import UNet2DConditionModel, UNetConfig, build_unet_spec
+from unlearn_ft_tpu.schedulers import DiffusionSchedule
+from unlearn_ft_tpu.training.optim import make_optimizer
+
+
+@pytest.fixture(scope="module")
+def unet_setup():
+    cfg = UNetConfig(
+        sample_size=4,
+        block_out_channels=(16, 32),
+        layers_per_block=2,
+        num_attention_heads=(2, 4),
+        cross_attention_dim=16,
+        norm_num_groups=4,
+        ff_gate_width=4,
+        upcast_attention=False,
+        down_block_types=("CrossAttnDownBlock2DHalfGated", "DownBlock2DHalfGated"),
+        up_block_types=("UpBlock2DHalfGated", "CrossAttnUpBlock2DHalfGated"),
+    )
+    spec = build_unet_spec(cfg)
+    unet = UNet2DConditionModel(spec)
+    x = jnp.zeros((1, 4, 4, 4))
+    ctx = jnp.zeros((1, 7, 16))
+    params = unet.init(jax.random.PRNGKey(0), x, jnp.array([0]), ctx)["params"]
+    return cfg, spec, unet, params
+
+
+def test_uce_edit_changes_only_cross_attn(unet_setup):
+    cfg, spec, unet, params = unet_setup
+    rng = np.random.default_rng(0)
+    old = rng.standard_normal((2, 16)).astype(np.float32)
+    new = rng.standard_normal((2, 16)).astype(np.float32)
+    keep = rng.standard_normal((3, 16)).astype(np.float32)
+    edited = uce_edit(params, spec, old, new, keep, lamb=0.5)
+
+    # attn2 kernels changed, attn1 untouched
+    tb = "transformer_blocks_0"
+    a_old = np.asarray(params["down_blocks_0"]["attentions_0"][tb]["attn2"]["to_k"]["kernel"])
+    a_new = np.asarray(edited["down_blocks_0"]["attentions_0"][tb]["attn2"]["to_k"]["kernel"])
+    assert not np.allclose(a_old, a_new)
+    s_old = np.asarray(params["down_blocks_0"]["attentions_0"][tb]["attn1"]["to_q"]["kernel"])
+    s_new = np.asarray(edited["down_blocks_0"]["attentions_0"][tb]["attn1"]["to_q"]["kernel"])
+    np.testing.assert_array_equal(s_old, s_new)
+
+    # edited projection maps old concept ~ to the new concept's value
+    W = a_new.T  # [inner, d]
+    W0 = a_old.T
+    want = W0 @ new[0]
+    got = W @ old[0]
+    # soft edit (lamb + preservation) => directionally close
+    cos = np.dot(want, got) / (np.linalg.norm(want) * np.linalg.norm(got))
+    assert cos > 0.9
+
+
+def test_esd_mask_and_step(unet_setup):
+    cfg, spec, unet, params = unet_setup
+    mask = esd_param_mask(params, "noxattn")
+    flat = jax.tree_util.tree_leaves_with_path(mask)
+    xattn = [v for p, v in flat if "attn2" in "/".join(str(k) for k in p)]
+    assert xattn and not any(xattn)
+    other = [v for p, v in flat if "attn1" in "/".join(str(k) for k in p)]
+    assert all(other)
+
+    from unlearn_ft_tpu.baselines.esd import masked_optimizer
+
+    tx = masked_optimizer(make_optimizer(1e-4), mask)
+    step = make_esd_step(unet, DiffusionSchedule(), tx, ddim_steps=4)
+    opt_state = tx.init(params)
+    concept = jnp.asarray(np.random.default_rng(1).standard_normal((1, 7, 16)), jnp.float32)
+    neutral = jnp.zeros((1, 7, 16))
+    frozen = jax.tree.map(jnp.copy, params)
+    p1, o1, loss = step(jax.tree.map(jnp.copy, params), frozen, opt_state, concept, neutral,
+                        jax.random.PRNGKey(0), latent_hw=4)
+    assert np.isfinite(float(loss))
+    # cross-attn unchanged under noxattn
+    tb = "transformer_blocks_0"
+    np.testing.assert_array_equal(
+        np.asarray(p1["down_blocks_0"]["attentions_0"][tb]["attn2"]["to_k"]["kernel"]),
+        np.asarray(params["down_blocks_0"]["attentions_0"][tb]["attn2"]["to_k"]["kernel"]),
+    )
+    # self-attn trained
+    assert not np.array_equal(
+        np.asarray(p1["down_blocks_0"]["attentions_0"][tb]["attn1"]["to_q"]["kernel"]),
+        np.asarray(params["down_blocks_0"]["attentions_0"][tb]["attn1"]["to_q"]["kernel"]),
+    )
+
+
+def test_concept_prune_wanda(unet_setup):
+    cfg, spec, unet, params = unet_setup
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 4, 4, 4)), jnp.float32)
+    ctx_base = jnp.asarray(np.random.default_rng(1).standard_normal((2, 7, 16)), jnp.float32)
+    ctx_tgt = jnp.asarray(np.random.default_rng(2).standard_normal((2, 7, 16)), jnp.float32)
+    t = jnp.array([100, 200])
+
+    base = collect_ffn_activations(unet, params, x, t, ctx_base)
+    tgt = collect_ffn_activations(unet, params, x, t, ctx_tgt)
+    assert base and set(base) == set(tgt)
+
+    masks = wanda_masks(params, spec, base, tgt, skill_ratio=0.1)
+    assert any(m.any() for m in masks.values())
+    u = union_masks([masks, masks])
+    assert all(np.array_equal(u[k], masks[k]) for k in masks)
+
+    pruned = apply_neuron_masks(params, masks)
+    # zeroed neurons: GEGLU proj columns are zero where masked
+    path = next(iter(masks))
+    node = pruned
+    for p in path.split("/"):
+        node = node[p]
+    kern = node["proj"]["kernel"]
+    m = masks[path]
+    col = np.concatenate([m, m])
+    assert np.all(kern[:, col] == 0)
+    # model still runs
+    out = unet.apply({"params": pruned}, x, t, ctx_base)
+    assert np.isfinite(np.asarray(out)).all()
