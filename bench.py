@@ -104,17 +104,35 @@ def run(args):
 
     step, tx, student_params, teacher_params, vae_params, resolution, seq, xdim = build(args)
 
-    batch_sizes = [args.batch_size] if args.batch_size else ([2] if args.smoke else [16, 8, 4, 2, 1])
+    batch_sizes = [args.batch_size] if args.batch_size else ([2] if args.smoke else [8, 16])
     rng = np.random.default_rng(1)
     best = None
+    frozen_dtype = jnp.float32 if args.smoke else jnp.bfloat16
+
+    import ml_dtypes
+
+    np_dtypes = {jnp.bfloat16: ml_dtypes.bfloat16, jnp.float32: np.float32}
+
+    def put(tree, dtype):
+        nd = np_dtypes.get(dtype, dtype)
+        out = jax.device_put(jax.tree.map(lambda x: np.asarray(x).astype(nd), tree))
+        jax.block_until_ready(out)
+        return out
+
+    print("# transferring params to device...", file=sys.stderr, flush=True)
+    t0 = time.perf_counter()
+    frozen = {
+        "teacher": put(teacher_params, frozen_dtype),
+        "vae": put(vae_params, frozen_dtype),
+    }
+    print(f"# transfer done in {time.perf_counter()-t0:.1f}s", file=sys.stderr, flush=True)
+
     for bs in batch_sizes:
         try:
-            params = jax.tree.map(jnp.asarray, student_params)
+            # student params live on host between batch sizes (the step
+            # donates them; an extra device-resident master copy OOMs)
+            params = put(student_params, np.float32)
             opt_state = tx.init(params)
-            frozen = {
-                "teacher": jax.tree.map(jnp.asarray, teacher_params),
-                "vae": jax.tree.map(jnp.asarray, vae_params),
-            }
             batch = {
                 "pixel_values": jnp.asarray(
                     rng.standard_normal((bs, resolution, resolution, 3)), jnp.float32
@@ -123,16 +141,23 @@ def run(args):
                     rng.standard_normal((bs, seq, xdim)), jnp.float32
                 ),
             }
-            # warmup/compile
+            # warmup/compile. NOTE: host value fetches (float()) are used as
+            # the sync barrier — on the experimental axon platform,
+            # block_until_ready returns before remote execution finishes.
+            print(f"# compiling step at batch {bs}...", file=sys.stderr, flush=True)
+            tw = time.perf_counter()
             params, opt_state, m = step(params, opt_state, frozen, batch, jax.random.PRNGKey(0))
-            jax.block_until_ready(m["loss"])
+            warm_loss = float(m["loss"])
+            print(f"# compiled in {time.perf_counter()-tw:.1f}s (loss {warm_loss:.4f})",
+                  file=sys.stderr, flush=True)
             n_steps = args.steps
             t0 = time.perf_counter()
             for i in range(n_steps):
                 params, opt_state, m = step(
                     params, opt_state, frozen, batch, jax.random.PRNGKey(i + 1)
                 )
-            jax.block_until_ready(m["loss"])
+                _ = float(m["loss"])  # per-step sync: the params chain alone
+                # is not trustworthy as a barrier on this platform
             dt = time.perf_counter() - t0
             sps = bs * n_steps / dt
             print(f"# batch {bs}: {sps:.3f} samples/sec ({dt/n_steps*1e3:.1f} ms/step)",

@@ -130,3 +130,80 @@ class NudityBilevelFineTuneTrainer(BilevelFineTuneTrainer):
     def init_upper_dataset(self):
         self.config[self.upper_style_filter_key] = None
         super().init_upper_dataset()
+
+
+class DreamBoothBilevelFineTuneTrainer(BilevelFineTuneTrainer):
+    """Upper loop = DreamBooth with prior preservation (reference
+    DreamBoothBilevelUnetFineTuner, trainer.py:3019-3398): the upper dataset
+    interleaves instance images (instance_prompt) and class images
+    (class_prompt, optionally pre-generated with the current pipeline); the
+    upper step is the plain DDPM objective on those pairs plus the prior
+    term, instead of the ESD target."""
+
+    def init_upper_dataset(self):
+        cfg = self.config
+        if isinstance(self.dataset, SyntheticDataset):
+            return super().init_upper_dataset()
+        from ..data.datasets import Record
+
+        inst_dir = cfg.get_path("data.instance_data_dir")
+        class_dir = cfg.get_path("data.class_data_dir")
+        instance_prompt = cfg.get_path("data.instance_prompt", "a photo of sks thing")
+        class_prompt = cfg.get_path("data.class_prompt", "a photo of a thing")
+        import os
+
+        records = [
+            Record(os.path.join(inst_dir, f), instance_prompt)
+            for f in sorted(os.listdir(inst_dir))
+        ]
+        if class_dir and os.path.isdir(class_dir):
+            records += [
+                Record(os.path.join(class_dir, f), class_prompt)
+                for f in sorted(os.listdir(class_dir))
+            ]
+
+        class _ListDS:
+            def __init__(self, records):
+                self.records = records
+
+            def __len__(self):
+                return len(self.records)
+
+            def __getitem__(self, i):
+                return self.records[i]
+
+        self.upper_dataset = _ListDS(records)
+        bs = int(cfg.get_path("data.dataloader.train_batch_size", 8))
+        self.upper_loader = DataLoader(
+            list(range(len(records))), bs, self._make_collate(self.upper_dataset),
+            seed=self.seed + 7,
+        )
+
+    def make_steps(self):
+        # upper step = DDPM loss on the DreamBooth pairs (no ESD target)
+        from .steps import make_finetune_step
+        from dataclasses import replace
+
+        FineTuneTrainer.make_steps(self)
+        db_loss_cfg = replace(self.loss_cfg, distillation_weight=0.0, block_weight=0.0)
+        self._db_step = make_finetune_step(
+            self.student, self.teacher, self.vae, self.sched, db_loss_cfg,
+            self.upper_tx if hasattr(self, "upper_tx") else self.tx,
+        )
+
+    def init_optimizers(self):
+        super().init_optimizers()
+        # rebuild the upper step now that upper_tx exists
+        self.make_steps()
+
+    def run_step(self, batch, rng):
+        metrics = FineTuneTrainer.run_step(self, batch, rng)
+        if (self.global_step + 1) % self.upper_step_freq == 0:
+            upper_batch = shard_batch(next(self._upper_it), self.mesh)
+            upper_rng = jax.random.fold_in(rng, 0xDB)
+            self.params, self.upper_opt_state, um = self._db_step(
+                self.params, self.upper_opt_state, self.frozen, upper_batch, upper_rng
+            )
+            metrics = {**metrics, "upper_loss": um["loss"],
+                       "upper_diff_loss": um["diff_loss"]}
+        return metrics

@@ -233,6 +233,87 @@ class FineTuneTrainer(BaseTrainer):
         )
         return metrics
 
+    # ---- validation / sample logging --------------------------------------------
+    def validate(self):
+        """Validation losses (reference UnetFineTuner.validate,
+        trainer.py:2490-2533) over a few held-out batches, plus optional
+        sample-image logging when `data.prompts` is set."""
+        import functools
+
+        if not hasattr(self, "_eval_fn"):
+
+            @functools.partial(jax.jit)
+            def eval_fn(params, frozen, batch, rng):
+                from .steps import _forward_process, _get_latents
+                from ..losses import diffusion_loss
+
+                k_vae, k_fwd = jax.random.split(rng)
+                latents = _get_latents(self.vae, frozen["vae"], batch, k_vae)
+                noisy, timesteps, target = _forward_process(
+                    self.sched, self.loss_cfg, latents, k_fwd
+                )
+                pred = self.student.apply(
+                    {"params": params}, noisy, timesteps, batch["prompt_embeds"]
+                )
+                return diffusion_loss(
+                    pred, target, timesteps, self.sched.alphas_cumprod,
+                    self.loss_cfg.snr_gamma, self.sched.prediction_type,
+                )
+
+            self._eval_fn = eval_fn
+
+        from ..parallel import shard_batch
+
+        losses = []
+        it = iter(self.train_loader)  # held-out split TODO: real val split
+        for i, batch in enumerate(it):
+            if i >= 2:
+                break
+            batch = shard_batch(batch, self.mesh)
+            losses.append(float(self._eval_fn(
+                self.params, self.frozen, batch, jax.random.PRNGKey(1000 + i)
+            )))
+        if losses:
+            self.tracker.log({"val_loss": float(np.mean(losses))}, step=self.global_step)
+            logger.info("validation | val_loss=%.4f", float(np.mean(losses)))
+        self.log_samples()
+
+    def log_samples(self):
+        """Generate and save sample images for config prompts (reference
+        generate_samples_from_prompts, trainer.py:2543)."""
+        prompts = self.config.get_path("data.prompts")
+        if not prompts or self.text_params is None:
+            return
+        from ..pipelines import SDPipeline
+
+        pipe = SDPipeline(
+            self.student, jax.device_get(self.params), self.vae, self.vae_params,
+            self.sched, scheduler_type="ddim", text_encoder=self.text_encoder,
+            text_params=self.text_params,
+        )
+        try:
+            from transformers import CLIPTokenizer
+
+            root = str(self.config.get("pretrained_model_name_or_path", ""))
+            pipe.tokenizer = CLIPTokenizer.from_pretrained(os.path.join(root, "tokenizer"))
+        except Exception:
+            return
+        pe = pipe.encode_prompts(list(prompts))
+        empty = pipe.encode_prompts([""] * len(prompts))
+        res = int(self.config.get_path("model.prediction_model.resolution", 512))
+        steps = int(self.config.get_path("training.num_inference_steps", 10))
+        imgs = pipe.generate_samples(pe, empty, steps, 7.5, res, res,
+                                     seed=self.seed + self.global_step)
+        out_dir = os.path.join(self.logging_dir, f"samples-{self.global_step}")
+        os.makedirs(out_dir, exist_ok=True)
+        from PIL import Image
+
+        for i, img in enumerate(imgs):
+            Image.fromarray((img * 255).astype(np.uint8)).save(
+                os.path.join(out_dir, f"{i}.png")
+            )
+        logger.info("logged %d sample images to %s", len(imgs), out_dir)
+
     # ---- checkpointing ----------------------------------------------------------
     def save_checkpoint(self):
         tree = {
@@ -288,4 +369,32 @@ class BaselineFineTuneTrainer(FineTuneTrainer):
         if bt == "structural":
             p = os.path.join(str(self.config.get("pruning_ckpt_dir", "")), "arch_vector.npy")
             return np.load(p)
+        if bt == "magnitude":
+            # deferred: computed in init_models once teacher weights exist
+            self._magnitude_pending = True
+            return None
         return None  # no-pruning
+
+    def init_models(self):
+        # run the standard init; then, for the magnitude baseline, derive the
+        # arch vector from the (loaded) teacher weights and re-materialize
+        FineTuneTrainer.init_models(self)
+        if getattr(self, "_magnitude_pending", False):
+            from ..baselines.magnitude import magnitude_arch_vector
+            from ..models import materialize_pruned
+            from ..parallel import replicate as _rep
+
+            teacher_params = jax.device_get(self.frozen)["teacher"]
+            ratio = float(
+                self.config.get_path("model.prediction_model.random_pruning_ratio", 0.7)
+            )
+            arch = magnitude_arch_vector(teacher_params, self.full_spec, self.layout, ratio)
+            self.arch_vector = arch
+            self.student_spec, student_params = materialize_pruned(
+                self.full_spec, self.layout, teacher_params, arch
+            )
+            from ..models import UNet2DConditionModel
+
+            self.student = UNet2DConditionModel(self.student_spec, dtype=self.dtype)
+            self.params = _rep(jax.tree.map(np.copy, student_params), self.mesh)
+            np.save(os.path.join(self.logging_dir, "arch_vector.npy"), arch)

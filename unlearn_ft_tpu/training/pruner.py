@@ -142,6 +142,41 @@ class PruningTrainer(FineTuneTrainer):
             if k not in ("batch_resource_ratios", "expert_indices")
         }
 
+    def validate(self):
+        """Log quantizer codebook pairwise similarity + per-expert resource
+        ratios as heatmaps (reference trainer.py:1037-1068, 1411-1417)."""
+        import os
+
+        from ..utils.estimation import hard_concrete
+        from ..utils.logging_utils import create_heatmap
+
+        emb_gs = np.asarray(jax.device_get(self.qstate["embedding_gs"]))
+        hard = (emb_gs >= 0.5).astype(np.float32)
+        norm = hard / np.clip(np.linalg.norm(hard, axis=-1, keepdims=True), 1e-9, None)
+        sim = norm @ norm.T
+        create_heatmap(
+            sim, os.path.join(self.logging_dir, f"codebook_sim_{self.global_step}"),
+            "codebook pairwise similarity",
+        )
+        # per-expert resource ratios
+        from ..utils import macs as macs_lib
+
+        table = macs_lib.unet_macs(self.full_spec)
+        ones = self.layout.ones(1)
+        full = float(macs_lib.calc_macs(self.full_spec, ones, static_table=table)[
+            "cur_prunable"][0])
+        ratios = []
+        for e in range(emb_gs.shape[0]):
+            s = self.layout.split(jnp.asarray(hard[e : e + 1]))
+            cur = float(macs_lib.calc_macs(self.full_spec, s, static_table=table)[
+                "cur_prunable"][0])
+            ratios.append(cur / full)
+        self.tracker.log(
+            {f"expert_{e}_resource_ratio": r for e, r in enumerate(ratios)},
+            step=self.global_step,
+        )
+        logger.info("expert resource ratios: %s", [f"{r:.3f}" for r in ratios])
+
     def save_checkpoint(self):
         tree = {
             "trainable": jax.device_get(self.trainable),

@@ -29,6 +29,28 @@ def init_logging_dir(config) -> str:
     return path
 
 
+def create_heatmap(matrix, path: str, title: str = ""):
+    """Save a similarity/ratio heatmap (reference logging_utils.create_heatmap,
+    seaborn-based). Uses matplotlib when present; always saves the raw .npy."""
+    import numpy as np
+
+    np.save(path + ".npy", np.asarray(matrix))
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, ax = plt.subplots(figsize=(6, 5))
+        im = ax.imshow(np.asarray(matrix), cmap="viridis")
+        fig.colorbar(im)
+        ax.set_title(title)
+        fig.savefig(path + ".png", bbox_inches="tight")
+        plt.close(fig)
+    except Exception:
+        pass
+
+
 class Tracker:
     """wandb if importable and configured, else JSONL scalars file."""
 
