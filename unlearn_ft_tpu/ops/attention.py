@@ -39,9 +39,10 @@ def dot_product_attention(
     use_memory_efficient: bool = True,
 ) -> jnp.ndarray:
     """[B, Lq, H, D] x [B, Lk, H, D] -> [B, Lq, H, D]."""
+    # the Pallas kernel accumulates softmax in fp32, so it also satisfies
+    # upcast_attention semantics (SD-2.1 sets upcast=True)
     if (
         use_memory_efficient
-        and not upcast
         and q.shape[1] >= _FLASH_MIN_SEQ
         and q.shape[1] == k.shape[1]
         and q.shape[-1] in (64, 128)
