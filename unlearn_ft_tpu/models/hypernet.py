@@ -73,18 +73,19 @@ class HyperStructure(nn.Module):
             )
             outs.append(layer(x))
         n = len(self.layout.width_list)
-        depth_layer = (
-            dense_cls(
-                self.layout.num_depth, use_bias=self.linear_bias, dtype=self.dtype,
-                name=f"mh_fc_{n}",
+        if self.layout.num_depth > 0:  # layouts without depth gates (Flux) skip the head
+            depth_layer = (
+                dense_cls(
+                    self.layout.num_depth, use_bias=self.linear_bias, dtype=self.dtype,
+                    name=f"mh_fc_{n}",
+                )
+                if self.wn_flag
+                else nn.Dense(
+                    self.layout.num_depth, use_bias=self.linear_bias, dtype=self.dtype,
+                    name=f"mh_fc_{n}",
+                )
             )
-            if self.wn_flag
-            else nn.Dense(
-                self.layout.num_depth, use_bias=self.linear_bias, dtype=self.dtype,
-                name=f"mh_fc_{n}",
-            )
-        )
-        outs.append(depth_layer(x))
+            outs.append(depth_layer(x))
         return jnp.concatenate(outs, axis=1)
 
 

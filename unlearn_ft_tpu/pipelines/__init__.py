@@ -1,1 +1,2 @@
 from .sd_pipeline import SDPipeline, PruningPipeline  # noqa: F401
+from .flux_pipeline import FluxPipeline  # noqa: F401
