@@ -104,7 +104,8 @@ def run(args):
 
     step, tx, student_params, teacher_params, vae_params, resolution, seq, xdim = build(args)
 
-    batch_sizes = [args.batch_size] if args.batch_size else ([2] if args.smoke else [8, 16])
+    # largest-first; first success wins (b16 = 29.0 samples/s, b8 = 27.0 measured)
+    batch_sizes = [args.batch_size] if args.batch_size else ([2] if args.smoke else [16, 8])
     rng = np.random.default_rng(1)
     best = None
     frozen_dtype = jnp.float32 if args.smoke else jnp.bfloat16
@@ -164,6 +165,7 @@ def run(args):
                   file=sys.stderr)
             if best is None or sps > best:
                 best = sps
+            break  # largest-first: first fitting batch size is the answer
         except Exception as e:  # OOM at large batch: fall through to smaller
             print(f"# batch {bs} failed: {type(e).__name__}: {str(e)[:200]}", file=sys.stderr)
             continue

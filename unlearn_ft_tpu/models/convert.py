@@ -217,14 +217,16 @@ def _unet_attention(sd, p):
     }
 
 
-def _unet_transformer(sd, p, use_linear_projection):
+def _unet_transformer(sd, p, use_linear_projection, num_layers=1):
     proj = _linear if use_linear_projection else _conv
-    tb = f"{p}.transformer_blocks.0"
-    return {
+    out = {
         "norm": _norm(sd, p + ".norm"),
         "proj_in": proj(sd, p + ".proj_in"),
         "proj_out": proj(sd, p + ".proj_out"),
-        "transformer_blocks_0": {
+    }
+    for li in range(num_layers):
+        tb = f"{p}.transformer_blocks.{li}"
+        out[f"transformer_blocks_{li}"] = {
             "norm1": _norm(sd, tb + ".norm1"),
             "attn1": _unet_attention(sd, tb + ".attn1"),
             "norm2": _norm(sd, tb + ".norm2"),
@@ -234,8 +236,8 @@ def _unet_transformer(sd, p, use_linear_projection):
                 "net_0": {"proj": _linear(sd, tb + ".ff.net.0.proj")},
                 "net_2": _linear(sd, tb + ".ff.net.2"),
             },
-        },
-    }
+        }
+    return out
 
 
 def convert_unet(sd: Dict, spec: UNetSpec) -> Dict:
@@ -253,13 +255,20 @@ def convert_unet(sd: Dict, spec: UNetSpec) -> Dict:
         "conv_norm_out": _norm(sd, "conv_norm_out"),
         "conv_out": _conv(sd, "conv_out"),
     }
+    if "add_embedding.linear_1.weight" in sd:  # SDXL text_time conditioning
+        params["add_embedding"] = {
+            "linear_1": _linear(sd, "add_embedding.linear_1"),
+            "linear_2": _linear(sd, "add_embedding.linear_2"),
+        }
 
     def block_params(block, prefix):
         bp = {}
         for j, r in enumerate(block.resnets):
             bp[f"resnets_{j}"] = _unet_resnet(sd, f"{prefix}.resnets.{j}", r.use_shortcut)
-        for j, _t in enumerate(block.transformers):
-            bp[f"attentions_{j}"] = _unet_transformer(sd, f"{prefix}.attentions.{j}", use_lp)
+        for j, t in enumerate(block.transformers):
+            bp[f"attentions_{j}"] = _unet_transformer(
+                sd, f"{prefix}.attentions.{j}", use_lp, t.num_layers
+            )
         if block.add_sampler:
             if block.kind == "down":
                 bp["downsamplers_0"] = {"conv": _conv(sd, f"{prefix}.downsamplers.0.conv")}

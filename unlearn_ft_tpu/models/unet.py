@@ -105,11 +105,7 @@ class Transformer2DModel(nn.Module):
         self,
         x: jnp.ndarray,
         encoder_hidden_states: jnp.ndarray,
-        gates: Tuple[Optional[jnp.ndarray], Optional[jnp.ndarray], Optional[jnp.ndarray]] = (
-            None,
-            None,
-            None,
-        ),
+        gates: Tuple = ((None, None, None),),  # per-layer (attn1, attn2, ff) gates
         depth_gate: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         s = self.spec
@@ -127,17 +123,20 @@ class Transformer2DModel(nn.Module):
             h = nn.Conv(inner, (1, 1), dtype=self.dtype, name="proj_in")(h)
             h = h.reshape(b, hgt * wid, inner)
 
-        h = BasicTransformerBlock(
-            dim=inner,
-            heads=s.heads,
-            heads2=s.heads2,
-            head_dim=s.head_dim,
-            ff_inner=s.ff_inner,
-            ff_gate_width=s.ff_gate_width,
-            upcast_attention=s.upcast_attention,
-            dtype=self.dtype,
-            name="transformer_blocks_0",
-        )(h, encoder_hidden_states, *gates)
+        if len(gates) != s.num_layers:
+            gates = ((None, None, None),) * s.num_layers
+        for li in range(s.num_layers):
+            h = BasicTransformerBlock(
+                dim=inner,
+                heads=s.heads[li],
+                heads2=s.heads2[li],
+                head_dim=s.head_dim,
+                ff_inner=s.ff_inner[li],
+                ff_gate_width=s.ff_gate_width,
+                upcast_attention=s.upcast_attention,
+                dtype=self.dtype,
+                name=f"transformer_blocks_{li}",
+            )(h, encoder_hidden_states, *gates[li])
 
         if s.use_linear_projection:
             h = nn.Dense(c, dtype=self.dtype, name="proj_out")(h)
@@ -154,10 +153,11 @@ class Transformer2DModel(nn.Module):
 
 def _consume_gates(block: BlockSpec, structure: Optional[Structure]):
     """Assign the block's Structure slices to submodules in canonical order
-    (all resnets first, then all attentions — blocks.py:1710-1727)."""
+    (all resnets first, then all attentions — blocks.py:1710-1727; per
+    transformer: per-layer [attn1, attn2, ff] triples)."""
     n_res, n_tf = len(block.resnets), len(block.transformers)
     res_gates = [(None, None)] * n_res
-    tf_gates = [((None, None, None), None)] * n_tf
+    tf_gates = [(((None, None, None),) * (t.num_layers or 1), None) for t in block.transformers]
     if structure is None:
         return res_gates, tf_gates
     w, d = list(structure.width), list(structure.depth)
@@ -166,13 +166,16 @@ def _consume_gates(block: BlockSpec, structure: Optional[Structure]):
         dg = d.pop(0) if r.has_depth_gate else None
         res_gates[j] = (wg, dg)
     for j, t in enumerate(block.transformers):
-        if t.has_width_gates:
-            g1, g2 = w.pop(0), w.pop(0)
-            gff = w.pop(0) if t.gated_ff else None
-        else:
-            g1 = g2 = gff = None
+        layers = []
+        for _ in range(t.num_layers):
+            if t.has_width_gates:
+                g1, g2 = w.pop(0), w.pop(0)
+                gff = w.pop(0) if t.gated_ff else None
+            else:
+                g1 = g2 = gff = None
+            layers.append((g1, g2, gff))
         dg = d.pop(0) if t.has_depth_gate else None
-        tf_gates[j] = ((g1, g2, gff), dg)
+        tf_gates[j] = (tuple(layers), dg)
     assert not w and not d, "block structure not fully consumed"
     return res_gates, tf_gates
 
@@ -256,7 +259,11 @@ class UNet2DConditionModel(nn.Module):
         for block in self.spec.blocks:
             nw = sum(
                 1 for r in block.resnets if r.has_width_gate
-            ) + sum((3 if t.gated_ff else 2) for t in block.transformers if t.has_width_gates)
+            ) + sum(
+                (3 if t.gated_ff else 2) * t.num_layers
+                for t in block.transformers
+                if t.has_width_gates
+            )
             nd = sum(1 for r in block.resnets if r.has_depth_gate) + sum(
                 1 for t in block.transformers if t.has_depth_gate
             )
@@ -281,6 +288,7 @@ class UNet2DConditionModel(nn.Module):
         encoder_hidden_states: jnp.ndarray,
         structure: Optional[Structure] = None,
         return_block_activations: bool = False,
+        added_cond: Optional[dict] = None,  # SDXL: {'text_embeds', 'time_ids'}
     ):
         """When ``return_block_activations``, also returns the per-block
         output dict {'d0'..,'m','u0'..} used by the block-distillation loss —
@@ -295,6 +303,21 @@ class UNet2DConditionModel(nn.Module):
             timesteps, s.block_out_channels[0], s.flip_sin_to_cos, s.freq_shift
         ).astype(self.dtype)
         temb = TimestepEmbedding(s.time_embed_dim, self.dtype, name="time_embedding")(t_emb)
+
+        if s.addition_embed_type == "text_time":
+            # SDXL micro-conditioning: size/crop time_ids + pooled text embeds
+            assert added_cond is not None, "SDXL spec requires added_cond"
+            time_ids = added_cond["time_ids"]  # [B, 6]
+            t_flat = timestep_embedding(
+                time_ids.reshape(-1), s.addition_time_embed_dim, s.flip_sin_to_cos,
+                s.freq_shift,
+            ).reshape(time_ids.shape[0], -1)
+            aug = jnp.concatenate(
+                [added_cond["text_embeds"], t_flat.astype(self.dtype)], axis=-1
+            )
+            temb = temb + TimestepEmbedding(
+                s.time_embed_dim, self.dtype, name="add_embedding"
+            )(aug)
 
         h = nn.Conv(
             s.block_out_channels[0], (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype,

@@ -48,12 +48,16 @@ class ResnetSpec:
 
 @dataclass(frozen=True)
 class TransformerSpec:
+    """One Transformer2DModel: ``num_layers`` BasicTransformerBlocks (SDXL has
+    up to 10); per-layer head/neuron counts since every layer is gated and
+    pruned independently."""
+
     in_channels: int
-    heads: int  # attn1 (self) heads after pruning
-    heads2: int  # attn2 (cross) heads after pruning — gated independently
+    heads: Tuple[int, ...]  # attn1 (self) heads per layer after pruning
+    heads2: Tuple[int, ...]  # attn2 (cross) heads per layer — gated independently
     head_dim: int
     cross_attention_dim: int
-    ff_inner: int
+    ff_inner: Tuple[int, ...]  # per layer
     ff_gate_width: int = 32
     norm_groups: int = 32
     use_linear_projection: bool = True
@@ -64,8 +68,8 @@ class TransformerSpec:
     dropped: bool = False
 
     @property
-    def full_heads_inner(self) -> int:
-        return self.heads * self.head_dim
+    def num_layers(self) -> int:
+        return len(self.heads)
 
 
 @dataclass(frozen=True)
@@ -97,6 +101,9 @@ class UNetSpec:
     down: Tuple[BlockSpec, ...]
     mid: BlockSpec
     up: Tuple[BlockSpec, ...]
+    addition_embed_type: Optional[str] = None
+    addition_time_embed_dim: int = 256
+    projection_class_embeddings_input_dim: int = 2816
 
     @property
     def blocks(self) -> Tuple[BlockSpec, ...]:
@@ -130,6 +137,7 @@ class UNetConfig:
     )
     block_out_channels: Tuple[int, ...] = (320, 640, 1280, 1280)
     layers_per_block: int = 2
+    transformer_layers_per_block: Tuple[int, ...] = (1, 1, 1, 1)  # SDXL: (1, 2, 10)
     num_attention_heads: Tuple[int, ...] = (5, 10, 20, 20)
     cross_attention_dim: int = 1024
     norm_num_groups: int = 32
@@ -140,6 +148,19 @@ class UNetConfig:
     ff_gate_width: int = 32
     flip_sin_to_cos: bool = True
     freq_shift: float = 0.0
+    # SDXL micro-conditioning (addition_embed_type="text_time")
+    addition_embed_type: Optional[str] = None
+    addition_time_embed_dim: int = 256
+    projection_class_embeddings_input_dim: int = 2816
+
+
+def _tlpb(cfg: UNetConfig):
+    t = cfg.transformer_layers_per_block
+    if isinstance(t, int):
+        return (t,) * len(cfg.block_out_channels)
+    if len(t) < len(cfg.block_out_channels):
+        return tuple(t) + (t[-1],) * (len(cfg.block_out_channels) - len(t))
+    return tuple(t)
 
 
 def _gating_mode(block_type: str) -> str:
@@ -168,16 +189,18 @@ def _make_resnet(in_ch, out_ch, groups, eps, mode, is_last, kind, skip_ch) -> Re
     )
 
 
-def _make_transformer(cfg: UNetConfig, channels, heads, mode, is_last, width_only=False):
+def _make_transformer(
+    cfg: UNetConfig, channels, heads, mode, is_last, width_only=False, num_layers=1
+):
     has_w = mode in ("half", "full")
     has_d = (not width_only) and ((mode == "full") or (mode == "half" and is_last))
     return TransformerSpec(
         in_channels=channels,
-        heads=heads,
-        heads2=heads,
+        heads=(heads,) * num_layers,
+        heads2=(heads,) * num_layers,
         head_dim=channels // heads,
         cross_attention_dim=cfg.cross_attention_dim,
-        ff_inner=channels * 4,
+        ff_inner=(channels * 4,) * num_layers,
         ff_gate_width=cfg.ff_gate_width,
         norm_groups=cfg.norm_num_groups,
         use_linear_projection=cfg.use_linear_projection,
@@ -216,7 +239,10 @@ def build_unet_spec(cfg: UNetConfig) -> UNetSpec:
         transformers: Tuple[TransformerSpec, ...] = ()
         if "CrossAttn" in bt:
             transformers = tuple(
-                _make_transformer(cfg, output_channel, cfg.num_attention_heads[i], mode, j == n - 1)
+                _make_transformer(
+                    cfg, output_channel, cfg.num_attention_heads[i], mode, j == n - 1,
+                    num_layers=_tlpb(cfg)[i],
+                )
                 for j in range(n)
             )
         down.append(
@@ -236,7 +262,8 @@ def build_unet_spec(cfg: UNetConfig) -> UNetSpec:
     mid_transformers = tuple(
         [
             _make_transformer(
-                cfg, mid_ch, cfg.num_attention_heads[-1], mid_mode, False, width_only=True
+                cfg, mid_ch, cfg.num_attention_heads[-1], mid_mode, False,
+                width_only=True, num_layers=_tlpb(cfg)[-1],
             )
         ]
     )
@@ -265,7 +292,10 @@ def build_unet_spec(cfg: UNetConfig) -> UNetSpec:
         transformers = ()
         if "CrossAttn" in bt:
             transformers = tuple(
-                _make_transformer(cfg, output_channel, reversed_heads[i], mode, j == n - 1)
+                _make_transformer(
+                    cfg, output_channel, reversed_heads[i], mode, j == n - 1,
+                    num_layers=tuple(reversed(_tlpb(cfg)))[i],
+                )
                 for j in range(n)
             )
         up.append(BlockSpec("up", bt, tuple(resnets), transformers, not is_final, output_channel))
@@ -284,6 +314,9 @@ def build_unet_spec(cfg: UNetConfig) -> UNetSpec:
         down=tuple(down),
         mid=mid,
         up=tuple(up),
+        addition_embed_type=cfg.addition_embed_type,
+        addition_time_embed_dim=cfg.addition_time_embed_dim,
+        projection_class_embeddings_input_dim=cfg.projection_class_embeddings_input_dim,
     )
 
 
@@ -297,11 +330,38 @@ def gate_layout_for_config(cfg: UNetConfig) -> GateLayout:
         gated_ff=cfg.gated_ff,
         ff_gate_width=cfg.ff_gate_width,
         resnet_groups=cfg.norm_num_groups,
+        transformer_layers_per_block=_tlpb(cfg),
     )
 
 
 def sd21_unet_config() -> UNetConfig:
     return UNetConfig()
+
+
+def sdxl_unet_config() -> UNetConfig:
+    """SDXL-base shapes with the reference's HalfGated block types
+    (SDXLPruner path, trainer.py:1472-1593 — dual text encoders feed a
+    2048-d context + pooled micro-conditioning)."""
+    return UNetConfig(
+        sample_size=128,
+        block_out_channels=(320, 640, 1280),
+        layers_per_block=2,
+        transformer_layers_per_block=(1, 2, 10),
+        num_attention_heads=(5, 10, 20),
+        cross_attention_dim=2048,
+        down_block_types=(
+            "DownBlock2DHalfGated",
+            "CrossAttnDownBlock2DHalfGated",
+            "CrossAttnDownBlock2DHalfGated",
+        ),
+        up_block_types=(
+            "CrossAttnUpBlock2DHalfGated",
+            "CrossAttnUpBlock2DHalfGated",
+            "UpBlock2DHalfGated",
+        ),
+        addition_embed_type="text_time",
+        projection_class_embeddings_input_dim=2816,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -401,9 +461,15 @@ def _slice_transformer(
 ) -> Tuple[TransformerSpec, Optional[Dict]]:
     if not (spec.has_width_gates or spec.has_depth_gate):
         return spec, p
-    m1 = cur.width() if spec.has_width_gates else None
-    m2 = cur.width() if spec.has_width_gates else None
-    mff = cur.width() if (spec.has_width_gates and spec.gated_ff) else None
+    layer_masks = []
+    for _ in range(spec.num_layers):
+        if spec.has_width_gates:
+            m1 = cur.width()
+            m2 = cur.width()
+            mff = cur.width() if spec.gated_ff else None
+        else:
+            m1 = m2 = mff = None
+        layer_masks.append((m1, m2, mff))
     keep = cur.depth() if spec.has_depth_gate else True
     if not keep:
         return (
@@ -411,31 +477,40 @@ def _slice_transformer(
             None,
         )
     new_spec = replace(spec, has_width_gates=False, has_depth_gate=False)
-    if m1 is None:
+    if not spec.has_width_gates:
         return new_spec, p
+
     q = dict(p)
-    tb = dict(p["transformer_blocks_0"])
-    tb["attn1"] = _slice_attention(p["transformer_blocks_0"]["attn1"], m1, spec.head_dim)
-    tb["attn2"] = _slice_attention(p["transformer_blocks_0"]["attn2"], m2, spec.head_dim)
-    heads_kept = int(m1.sum())
-    heads2_kept = int(m2.sum())
-    ff_inner = spec.ff_inner
-    if mff is not None:
-        neuron = np.repeat(mff, spec.ff_inner // spec.ff_gate_width)
-        ff = dict(tb["ff"])
-        proj_k = np.asarray(p["transformer_blocks_0"]["ff"]["net_0"]["proj"]["kernel"])
-        proj_b = np.asarray(p["transformer_blocks_0"]["ff"]["net_0"]["proj"]["bias"])
-        col = np.concatenate([neuron, neuron])
-        ff["net_0"] = {"proj": {"kernel": proj_k[:, col], "bias": proj_b[col]}}
-        net2_k = np.asarray(p["transformer_blocks_0"]["ff"]["net_2"]["kernel"])
-        ff["net_2"] = {
-            "kernel": net2_k[neuron, :],
-            "bias": np.asarray(p["transformer_blocks_0"]["ff"]["net_2"]["bias"]),
-        }
-        tb["ff"] = ff
-        ff_inner = int(neuron.sum())
-    q["transformer_blocks_0"] = tb
-    return replace(new_spec, heads=heads_kept, heads2=heads2_kept, ff_inner=ff_inner), q
+    heads_kept, heads2_kept, ff_kept = [], [], []
+    for li, (m1, m2, mff) in enumerate(layer_masks):
+        src = p[f"transformer_blocks_{li}"]
+        tb = dict(src)
+        tb["attn1"] = _slice_attention(src["attn1"], m1, spec.head_dim)
+        tb["attn2"] = _slice_attention(src["attn2"], m2, spec.head_dim)
+        heads_kept.append(int(m1.sum()))
+        heads2_kept.append(int(m2.sum()))
+        if mff is not None:
+            neuron = np.repeat(mff, spec.ff_inner[li] // spec.ff_gate_width)
+            ff = dict(tb["ff"])
+            proj_k = np.asarray(src["ff"]["net_0"]["proj"]["kernel"])
+            proj_b = np.asarray(src["ff"]["net_0"]["proj"]["bias"])
+            col = np.concatenate([neuron, neuron])
+            ff["net_0"] = {"proj": {"kernel": proj_k[:, col], "bias": proj_b[col]}}
+            net2_k = np.asarray(src["ff"]["net_2"]["kernel"])
+            ff["net_2"] = {
+                "kernel": net2_k[neuron, :],
+                "bias": np.asarray(src["ff"]["net_2"]["bias"]),
+            }
+            tb["ff"] = ff
+            ff_kept.append(int(neuron.sum()))
+        else:
+            ff_kept.append(spec.ff_inner[li])
+        q[f"transformer_blocks_{li}"] = tb
+    return (
+        replace(new_spec, heads=tuple(heads_kept), heads2=tuple(heads2_kept),
+                ff_inner=tuple(ff_kept)),
+        q,
+    )
 
 
 def materialize_pruned(

@@ -183,9 +183,11 @@ def _resnet(depth: int, groups: int = 32) -> SubmoduleGates:
     return SubmoduleGates("resnet", (groups,), depth)
 
 
-def _transformer(heads: int, depth: int, gated_ff: bool, ff_gate_width: int) -> SubmoduleGates:
-    widths = (heads, heads, ff_gate_width) if gated_ff else (heads, heads)
-    return SubmoduleGates("transformer", widths, depth)
+def _transformer(
+    heads: int, depth: int, gated_ff: bool, ff_gate_width: int, num_layers: int = 1
+) -> SubmoduleGates:
+    per_layer = (heads, heads, ff_gate_width) if gated_ff else (heads, heads)
+    return SubmoduleGates("transformer", per_layer * num_layers, depth)
 
 
 def _block_gates(
@@ -195,16 +197,18 @@ def _block_gates(
     gated_ff: bool,
     ff_gate_width: int,
     resnet_groups: int = 32,
+    transformer_layers: int = 1,
 ) -> BlockGates:
     subs: List[SubmoduleGates] = []
     bt = block_type
+    tl = transformer_layers
     if bt in ("CrossAttnDownBlock2DHalfGated", "CrossAttnUpBlock2DHalfGated"):
         subs += [_resnet(0, resnet_groups)] * (num_layers - 1) + [_resnet(1, resnet_groups)]
-        subs += [_transformer(heads, 0, gated_ff, ff_gate_width)] * (num_layers - 1)
-        subs += [_transformer(heads, 1, gated_ff, ff_gate_width)]
+        subs += [_transformer(heads, 0, gated_ff, ff_gate_width, tl)] * (num_layers - 1)
+        subs += [_transformer(heads, 1, gated_ff, ff_gate_width, tl)]
     elif bt in ("CrossAttnDownBlock2DGated", "CrossAttnUpBlock2DGated"):
         subs += [_resnet(1, resnet_groups)] * num_layers
-        subs += [_transformer(heads, 1, gated_ff, ff_gate_width)] * num_layers
+        subs += [_transformer(heads, 1, gated_ff, ff_gate_width, tl)] * num_layers
     elif bt in ("DownBlock2DHalfGated", "UpBlock2DHalfGated"):
         subs += [_resnet(0, resnet_groups)] * (num_layers - 1) + [_resnet(1, resnet_groups)]
     elif bt in ("DownBlock2DGated", "UpBlock2DGated"):
@@ -212,7 +216,7 @@ def _block_gates(
     elif bt == "UNetMidBlock2DCrossAttnWidthGated":
         # mid: num_layers(=1)+1 resnets then num_layers attentions, width-only
         subs += [_resnet(0, resnet_groups)] * (num_layers + 1)
-        subs += [_transformer(heads, 0, gated_ff, ff_gate_width)] * num_layers
+        subs += [_transformer(heads, 0, gated_ff, ff_gate_width, tl)] * num_layers
     elif bt in ("DownBlock2D", "UpBlock2D", "CrossAttnDownBlock2D", "CrossAttnUpBlock2D",
                 "UNetMidBlock2DCrossAttn"):
         pass  # ungated
@@ -230,24 +234,32 @@ def unet_gate_layout(
     gated_ff: bool = True,
     ff_gate_width: int = 32,
     resnet_groups: int = 32,
+    transformer_layers_per_block=None,
 ) -> GateLayout:
     """Build the canonical gate layout for a (gated) SD-style U-Net config.
 
     ``num_attention_heads`` is per down-block (e.g. SD-2.1: [5, 10, 20, 20]);
     up blocks consume it reversed, as in diffusers' UNet2DConditionModel.
+    ``transformer_layers_per_block`` (per down-block) supports SDXL's deeper
+    transformers; defaults to 1 everywhere.
     """
     heads = list(num_attention_heads)
     rev_heads = list(reversed(heads))
+    tlpb = list(transformer_layers_per_block or [1] * len(down_block_types))
+    rev_tlpb = list(reversed(tlpb))
     blocks: List[BlockGates] = []
     for i, bt in enumerate(down_block_types):
         blocks.append(
-            _block_gates(bt, layers_per_block, heads[i], gated_ff, ff_gate_width, resnet_groups)
+            _block_gates(bt, layers_per_block, heads[i], gated_ff, ff_gate_width,
+                         resnet_groups, tlpb[i])
         )
-    blocks.append(_block_gates(mid_block_type, 1, heads[-1], gated_ff, ff_gate_width, resnet_groups))
+    blocks.append(_block_gates(mid_block_type, 1, heads[-1], gated_ff, ff_gate_width,
+                               resnet_groups, tlpb[-1]))
     for i, bt in enumerate(up_block_types):
         blocks.append(
             _block_gates(
-                bt, layers_per_block + 1, rev_heads[i], gated_ff, ff_gate_width, resnet_groups
+                bt, layers_per_block + 1, rev_heads[i], gated_ff, ff_gate_width,
+                resnet_groups, rev_tlpb[i]
             )
         )
     return GateLayout(tuple(blocks))

@@ -48,21 +48,24 @@ def resnet_macs(s: ResnetSpec, res: int, time_embed_dim: int) -> SubmoduleMacs:
 def transformer_macs(s: TransformerSpec, res: int, seq_kv: int = 77) -> SubmoduleMacs:
     L = res * res
     C = s.in_channels
-    inner1 = s.heads * s.head_dim
-    inner2 = s.heads2 * s.head_dim
-    # self-attention (attn1): q,k,v + out projections + score/value matmuls
-    attn1 = 3 * L * C * inner1 + L * inner1 * C + 2 * L * L * inner1
-    # cross-attention (attn2)
-    attn2 = (
-        L * C * inner2 + 2 * seq_kv * s.cross_attention_dim * inner2
-        + L * inner2 * C + 2 * L * seq_kv * inner2
-    )
-    ff = L * C * (2 * s.ff_inner) + L * s.ff_inner * C
-    norms = L * C * 4  # group norm + 3 layer norms
-    projs = 2 * L * C * C
-    prunable = attn1 + attn2 + ff
-    total = prunable + norms + projs
-    return SubmoduleMacs(float(prunable), float(total), (float(attn1), float(attn2), float(ff)))
+    per_gate = []
+    prunable = 0.0
+    total = L * C + 2 * L * C * C  # group norm + proj_in/out
+    for li in range(s.num_layers):
+        inner1 = s.heads[li] * s.head_dim
+        inner2 = s.heads2[li] * s.head_dim
+        # self-attention (attn1): q,k,v + out projections + score/value matmuls
+        attn1 = 3 * L * C * inner1 + L * inner1 * C + 2 * L * L * inner1
+        # cross-attention (attn2)
+        attn2 = (
+            L * C * inner2 + 2 * seq_kv * s.cross_attention_dim * inner2
+            + L * inner2 * C + 2 * L * seq_kv * inner2
+        )
+        ff = L * C * (2 * s.ff_inner[li]) + L * s.ff_inner[li] * C
+        per_gate += [float(attn1), float(attn2), float(ff)]
+        prunable += attn1 + attn2 + ff
+        total += attn1 + attn2 + ff + 3 * L * C  # + layer norms
+    return SubmoduleMacs(float(prunable), float(total), tuple(per_gate))
 
 
 def sampler_macs(block: BlockSpec, res: int) -> float:
@@ -168,20 +171,23 @@ def calc_macs(
         for t in block.transformers:
             m = subs[si]
             si += 1
-            if t.has_width_gates:
-                r1 = ratio(w_iter.pop(0))
-                r2 = ratio(w_iter.pop(0))
-                rff = ratio(w_iter.pop(0)) if t.gated_ff else jnp.ones((batch,))
-            else:
-                r1 = r2 = rff = jnp.ones((batch,))
-            a1, a2, ff = m.per_gate_prunable
-            cp = r1 * a1 + r2 * a2 + (rff * ff if t.gated_ff else ff)
-            ct = (
-                jax.lax.stop_gradient(r1) * a1
-                + jax.lax.stop_gradient(r2) * a2
-                + (jax.lax.stop_gradient(rff) * ff if t.gated_ff else ff)
-                + (m.total - m.prunable)
-            )
+            cp = jnp.zeros((batch,))
+            ct = jnp.zeros((batch,))
+            for li in range(t.num_layers):
+                if t.has_width_gates:
+                    r1 = ratio(w_iter.pop(0))
+                    r2 = ratio(w_iter.pop(0))
+                    rff = ratio(w_iter.pop(0)) if t.gated_ff else jnp.ones((batch,))
+                else:
+                    r1 = r2 = rff = jnp.ones((batch,))
+                a1, a2, ff = m.per_gate_prunable[3 * li : 3 * li + 3]
+                cp = cp + r1 * a1 + r2 * a2 + (rff * ff if t.gated_ff else ff)
+                ct = ct + (
+                    jax.lax.stop_gradient(r1) * a1
+                    + jax.lax.stop_gradient(r2) * a2
+                    + (jax.lax.stop_gradient(rff) * ff if t.gated_ff else ff)
+                )
+            ct = ct + (m.total - m.prunable)
             if t.has_depth_gate:
                 dd = hard_concrete(d_iter.pop(0))
                 cp = (cp + (m.total - m.prunable)) * dd
