@@ -156,11 +156,12 @@ class UNetConfig:
 
 def _tlpb(cfg: UNetConfig):
     t = cfg.transformer_layers_per_block
+    n = len(cfg.block_out_channels)
     if isinstance(t, int):
-        return (t,) * len(cfg.block_out_channels)
-    if len(t) < len(cfg.block_out_channels):
-        return tuple(t) + (t[-1],) * (len(cfg.block_out_channels) - len(t))
-    return tuple(t)
+        return (t,) * n
+    if len(t) < n:
+        return tuple(t) + (t[-1],) * (n - len(t))
+    return tuple(t)[:n]
 
 
 def _gating_mode(block_type: str) -> str:

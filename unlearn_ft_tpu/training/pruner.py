@@ -42,10 +42,22 @@ class PruningTrainer(FineTuneTrainer):
         sample = jnp.zeros((1, self.unet_cfg.sample_size, self.unet_cfg.sample_size,
                             self.unet_cfg.in_channels))
         ctx = jnp.zeros((1, 7, self.unet_cfg.cross_attention_dim))
+        init_kwargs = {}
+        if self.full_spec.addition_embed_type == "text_time":
+            pooled_dim = (
+                self.full_spec.projection_class_embeddings_input_dim
+                - 6 * self.full_spec.addition_time_embed_dim
+            )
+            init_kwargs["added_cond"] = {
+                "text_embeds": jnp.zeros((1, pooled_dim)),
+                "time_ids": jnp.zeros((1, 6)),
+            }
         if os.path.isdir(unet_dir):
             unet_params = load_diffusers_unet(unet_dir, self.full_spec)
         else:
-            unet_params = self.unet.init(key, sample, jnp.array([0]), ctx)["params"]
+            unet_params = self.unet.init(key, sample, jnp.array([0]), ctx, **init_kwargs)[
+                "params"
+            ]
 
         g = cfg.get_path
         self.hypernet = HyperStructure(
