@@ -1,0 +1,9 @@
+#!/usr/bin/env bash
+set -euo pipefail
+COCO_DIR=${1:?coco dir}; SD_DIR=${2:?sd-2.1 dir}; PRUNE_CKPT=${3:?pruning ckpt}; EXPERT=${4:?expert id}
+cd "$(dirname "$0")/.."
+python scripts/aptp/finetune.py \
+  --base_config_path configs/baselines/sd-2-1_coco_aptp_both_512.yaml \
+  --pretrained_model_name_or_path "$SD_DIR" \
+  --pruning_ckpt_dir "$PRUNE_CKPT" --expert_id "$EXPERT" \
+  --wandb_run_name "finetune-coco-512-expert$EXPERT"

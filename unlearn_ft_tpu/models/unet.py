@@ -250,6 +250,14 @@ class UNet2DConditionModel(nn.Module):
 
     spec: UNetSpec
     dtype: jnp.dtype = jnp.float32
+    remat: bool = False  # rematerialize per-block activations on backward
+    # (replaces the reference's enable/disable of torch gradient_checkpointing,
+    # trainer.py config training.gradient_checkpointing)
+
+    def _block(self, cls):
+        if not self.remat:
+            return cls
+        return nn.remat(cls, static_argnums=(), prevent_cse=False)
 
     def split_structure(self, structure: Optional[Structure]) -> List[Optional[Structure]]:
         if structure is None:
@@ -327,15 +335,18 @@ class UNet2DConditionModel(nn.Module):
         block_acts = {}
         res_stack: List[jnp.ndarray] = [h]
         bi = 0
+        down_cls = self._block(DownBlock2D)
+        mid_cls = self._block(MidBlock2DCrossAttn)
+        up_cls = self._block(UpBlock2D)
         for i, block in enumerate(s.down):
-            h, outputs = DownBlock2D(block, self.dtype, name=f"down_blocks_{i}")(
+            h, outputs = down_cls(block, self.dtype, name=f"down_blocks_{i}")(
                 h, temb, encoder_hidden_states, per_block[bi]
             )
             res_stack.extend(outputs)
             block_acts[f"d{i}"] = h
             bi += 1
 
-        h = MidBlock2DCrossAttn(s.mid, self.dtype, name="mid_block")(
+        h = mid_cls(s.mid, self.dtype, name="mid_block")(
             h, temb, encoder_hidden_states, per_block[bi]
         )
         block_acts["m"] = h
@@ -344,7 +355,7 @@ class UNet2DConditionModel(nn.Module):
         for i, block in enumerate(s.up):
             n = len(block.resnets)
             skips, res_stack = res_stack[-n:], res_stack[:-n]
-            h = UpBlock2D(block, self.dtype, name=f"up_blocks_{i}")(
+            h = up_cls(block, self.dtype, name=f"up_blocks_{i}")(
                 h, list(skips), temb, encoder_hidden_states, per_block[bi]
             )
             block_acts[f"u{i}"] = h

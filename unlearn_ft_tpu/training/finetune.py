@@ -79,7 +79,10 @@ class FineTuneTrainer(BaseTrainer):
             self.arch_vector = None
             self.student_spec = self.full_spec
             student_params = teacher_params
-        self.student = UNet2DConditionModel(self.student_spec, dtype=self.dtype)
+        self.student = UNet2DConditionModel(
+            self.student_spec, dtype=self.dtype,
+            remat=bool(self.config.get_path("training.gradient_checkpointing", False)),
+        )
 
         if cfg.get("random_init"):
             student_params = UNet2DConditionModel(self.student_spec).init(
@@ -395,6 +398,9 @@ class BaselineFineTuneTrainer(FineTuneTrainer):
             )
             from ..models import UNet2DConditionModel
 
-            self.student = UNet2DConditionModel(self.student_spec, dtype=self.dtype)
+            self.student = UNet2DConditionModel(
+            self.student_spec, dtype=self.dtype,
+            remat=bool(self.config.get_path("training.gradient_checkpointing", False)),
+        )
             self.params = _rep(jax.tree.map(np.copy, student_params), self.mesh)
             np.save(os.path.join(self.logging_dir, "arch_vector.npy"), arch)
