@@ -174,9 +174,68 @@ def run(args):
     return best
 
 
+def run_gen(args):
+    """512px generation throughput: 25-step DDIM CFG on the pruned expert."""
+    import jax
+    import jax.numpy as jnp
+
+    from unlearn_ft_tpu.models import (
+        UNet2DConditionModel, build_unet_spec, gate_layout_for_config,
+        materialize_pruned, sd21_unet_config,
+    )
+    from unlearn_ft_tpu.models.vae import AutoencoderKL, VAEConfig
+    from unlearn_ft_tpu.pipelines import SDPipeline
+    from unlearn_ft_tpu.schedulers import DiffusionSchedule
+
+    cfg = sd21_unet_config()
+    spec = build_unet_spec(cfg)
+    layout = gate_layout_for_config(cfg)
+    rng = np.random.default_rng(0)
+    teacher = UNet2DConditionModel(spec, dtype=jnp.bfloat16)
+    t_shape = jax.eval_shape(
+        lambda k: teacher.init(
+            k, jnp.zeros((1, 64, 64, 4), jnp.bfloat16), jnp.zeros((1,), jnp.int32),
+            jnp.zeros((1, 77, 1024), jnp.bfloat16),
+        ), jax.random.PRNGKey(0),
+    )["params"]
+    full_params = jax.tree.map(
+        lambda s: (rng.standard_normal(s.shape) * 0.02).astype(np.float32), t_shape
+    )
+    sspec, sparams = materialize_pruned(
+        spec, layout, full_params, layout.random_arch_vector(args.keep_ratio, seed=0)
+    )
+    student = UNet2DConditionModel(sspec, dtype=jnp.bfloat16)
+    vae = AutoencoderKL(VAEConfig(), dtype=jnp.bfloat16)
+    v_shape = jax.eval_shape(
+        lambda k: vae.init(k, jnp.zeros((1, 512, 512, 3), jnp.bfloat16), k),
+        jax.random.PRNGKey(0),
+    )["params"]
+    vparams = jax.tree.map(
+        lambda s: (rng.standard_normal(s.shape) * 0.02).astype(np.float32), v_shape
+    )
+    pipe = SDPipeline(student, jax.device_put(sparams), vae, jax.device_put(vparams),
+                      DiffusionSchedule(), scheduler_type="ddim")
+    bs = args.batch_size or 8
+    pe = jnp.asarray(rng.standard_normal((bs, 77, 1024)), jnp.float32)
+    empty = jnp.zeros_like(pe)
+    steps = 25
+    # warmup (compile), then timed
+    pipe.generate_samples(pe, empty, steps, 7.5, args.resolution, args.resolution, 0)
+    t0 = time.perf_counter()
+    n_rounds = 3
+    for i in range(n_rounds):
+        imgs = pipe.generate_samples(
+            pe, empty, steps, 7.5, args.resolution, args.resolution, i + 1
+        )
+    dt = time.perf_counter() - t0
+    return bs * n_rounds / dt
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--smoke", action="store_true", help="tiny shapes (CPU sanity)")
+    p.add_argument("--gen", action="store_true",
+                   help="measure 512px generation images/sec instead of training")
     p.add_argument("--resolution", type=int, default=512)
     p.add_argument("--keep-ratio", type=float, default=0.55)
     p.add_argument("--batch-size", type=int, default=None)
@@ -187,6 +246,16 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+
+    if args.gen:
+        value = run_gen(args)
+        print(json.dumps({
+            "metric": "gen_512px_images_per_sec",
+            "value": round(float(value), 4),
+            "unit": "images/sec/chip",
+            "vs_baseline": round(float(value) / 1.0, 4),  # ~1 img/s/GPU reference est.
+        }))
+        return
 
     value = run(args)
     print(json.dumps({
