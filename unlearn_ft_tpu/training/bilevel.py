@@ -46,7 +46,8 @@ class BilevelFineTuneTrainer(FineTuneTrainer):
         self.upper_dataset = ds
         bs = int(cfg.get_path("data.dataloader.train_batch_size", 8))
         self.upper_loader = DataLoader(
-            list(range(len(ds))), bs, self._make_collate(ds), seed=self.seed + 7
+            list(range(len(ds))), bs, self._make_collate(ds), seed=self.seed + 7,
+            num_shards=jax.process_count(), shard_index=jax.process_index(),
         )
 
     def init_optimizers(self):

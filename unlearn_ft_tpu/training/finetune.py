@@ -135,8 +135,11 @@ class FineTuneTrainer(BaseTrainer):
         ds = get_dataset(cfg)
         self.dataset = ds
         bs = int(cfg.get_path("data.dataloader.train_batch_size", 8))
+        # per-host shard of the records (replaces DistributedSampler /
+        # dist_utils.nodesplitter; device-level sharding happens in shard_batch)
         self.train_loader = DataLoader(
-            list(range(len(ds))), bs, self._make_collate(ds), seed=self.seed
+            list(range(len(ds))), bs, self._make_collate(ds), seed=self.seed,
+            num_shards=jax.process_count(), shard_index=jax.process_index(),
         )
 
     def _make_collate(self, ds):
