@@ -28,24 +28,25 @@ from .steps import make_finetune_step
 from .trainer import BaseTrainer, load_diffusers_unet, unet_config_from
 
 
-def load_arch_vector_from_pruning_ckpt(pruning_ckpt_dir: str, expert_id: int) -> np.ndarray:
-    """Read the expert's arch vector from a pruning checkpoint.
-
-    Accepts both this framework's layout (quantizer_embeddings.npy /
-    arch_vector.npy) and the reference's torch artifact
+def load_quantizer_embeddings(pruning_ckpt_dir: str) -> np.ndarray:
+    """Load the [n_e, dim] quantizer embedding_gs matrix from a pruning
+    checkpoint — this framework's .npy or the reference's torch artifact
     (quantizer_embeddings.pt, trainer.py:2159-2161)."""
-    for name in ("quantizer_embeddings.npy",):
-        p = os.path.join(pruning_ckpt_dir, name)
-        if os.path.exists(p):
-            return np.load(p)[expert_id][None, :]
+    p = os.path.join(pruning_ckpt_dir, "quantizer_embeddings.npy")
+    if os.path.exists(p):
+        return np.load(p)
     for name in ("quantizer_embeddings.pt", os.path.join("quantizer", "quantizer_embeddings.pt")):
         p = os.path.join(pruning_ckpt_dir, name)
         if os.path.exists(p):
             import torch
 
-            emb = torch.load(p, map_location="cpu", weights_only=True)
-            return np.asarray(emb)[expert_id][None, :]
+            return np.asarray(torch.load(p, map_location="cpu", weights_only=True))
     raise FileNotFoundError(f"no quantizer embeddings under {pruning_ckpt_dir}")
+
+
+def load_arch_vector_from_pruning_ckpt(pruning_ckpt_dir: str, expert_id: int) -> np.ndarray:
+    """Read one expert's arch vector from a pruning checkpoint."""
+    return load_quantizer_embeddings(pruning_ckpt_dir)[expert_id][None, :]
 
 
 class FineTuneTrainer(BaseTrainer):
@@ -133,6 +134,7 @@ class FineTuneTrainer(BaseTrainer):
     def init_datasets(self):
         cfg = self.config
         ds = get_dataset(cfg)
+        ds = self._maybe_filter_by_expert(ds)
         self.dataset = ds
         bs = int(cfg.get_path("data.dataloader.train_batch_size", 8))
         # per-host shard of the records (replaces DistributedSampler /
@@ -141,6 +143,76 @@ class FineTuneTrainer(BaseTrainer):
             list(range(len(ds))), bs, self._make_collate(ds), seed=self.seed,
             num_shards=jax.process_count(), shard_index=jax.process_index(),
         )
+
+    def _maybe_filter_by_expert(self, ds):
+        """Keep only captions routed to this expert (reference
+        UnetFineTuner.init_datasets + filter_dataset, trainer.py:2200-2231,
+        data_utils.py:322-350). Requires the pruning checkpoint's hypernet +
+        quantizer and MPNet embeddings; silently skipped for synthetic runs."""
+        cfg = self.config
+        if not (cfg.get_path("data.filter_dataset") and cfg.get("pruning_ckpt_dir")
+                and cfg.get("expert_id") is not None):
+            return ds
+        if isinstance(ds, SyntheticDataset) or self.mpnet_params is None:
+            logger.warning("filter_dataset requested but MPNet weights unavailable; skipping")
+            return ds
+        from transformers import AutoTokenizer
+
+        from ..data import filter_dataset_by_expert
+        from ..data.preprocess import TextEmbeddingCache
+        from ..models.hypernet import HyperStructure, convert_hypernet
+        from ..models.quantizer import QuantizerConfig
+        from ..models.mpnet import mean_pool
+
+        tok = AutoTokenizer.from_pretrained(cfg.get("mpnet_model"))
+
+        def encode_mpnet(captions):
+            enc = tok(captions, padding=True, truncation=True, return_tensors="np")
+            hidden = self.mpnet.apply(
+                {"params": self.mpnet_params}, jnp.asarray(enc["input_ids"]),
+                jnp.asarray(enc["attention_mask"]),
+            )
+            return mean_pool(hidden, jnp.asarray(enc["attention_mask"]))
+
+        cache = TextEmbeddingCache(lambda c: encode_mpnet(c), None,
+                                   cfg.get("cache_dir"), batch_size=256)
+        emb, _ = cache([r.caption for r in ds.records])
+
+        from ..models.convert import load_torch_state_dict
+
+        hn = HyperStructure(self.layout, input_dim=emb.shape[1])
+        hdir = os.path.join(cfg.pruning_ckpt_dir, "hypernet")
+        for name in ("diffusion_pytorch_model.safetensors", "pytorch_model.bin",
+                     "model.safetensors"):
+            p = os.path.join(hdir, name)
+            if os.path.exists(p):
+                hparams = convert_hypernet(load_torch_state_dict(p), self.layout)
+                break
+        else:
+            logger.warning("no hypernet weights in pruning ckpt; skipping filtering")
+            return ds
+        qcfg = QuantizerConfig(layout=self.layout)
+        emb_gs = load_quantizer_embeddings(cfg.pruning_ckpt_dir)
+        qstate = {"embedding_gs": jnp.asarray(emb_gs), "prunable_macs_template": None}
+        mask = filter_dataset_by_expert(
+            emb, hn, hparams, qcfg, {"embedding": jnp.asarray(emb_gs)}, qstate,
+            int(cfg.expert_id),
+        )
+        kept = [r for r, m in zip(ds.records, mask) if m]
+        logger.info("expert %s dataset filter: kept %d/%d captions",
+                    cfg.expert_id, len(kept), len(ds.records))
+
+        class _Filtered:
+            def __init__(self, records):
+                self.records = records
+
+            def __len__(self):
+                return len(self.records)
+
+            def __getitem__(self, i):
+                return self.records[i]
+
+        return _Filtered(kept)
 
     def _make_collate(self, ds):
         cfg = self.config
