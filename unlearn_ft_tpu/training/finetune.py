@@ -245,23 +245,52 @@ class FineTuneTrainer(BaseTrainer):
         )
         embeds = self._precompute_text_embeddings([r.caption for r in ds.records])
 
+        moments = None
+        if cfg.get_path("data.precompute_latents"):
+            # production input pipeline: VAE posterior moments cached once
+            # (center-crop, no flip — fixes augmentation; opt-in tradeoff,
+            # see data/preprocess.py::LatentMomentsCache)
+            moments = self._precompute_latent_moments(ds, resolution)
+
         def collate(indices):
             from PIL import Image
 
-            pixels, pe, ee = [], [], []
-            for i in indices:
-                rec = ds.records[i]
-                img = Image.open(rec.image)
-                pixels.append(transform(img))
-                pe.append(embeds["prompt_embeds"][i])
-                ee.append(embeds["empty_prompt_embeds"])
-            return {
-                "pixel_values": np.stack(pixels),
+            pe = [embeds["prompt_embeds"][i] for i in indices]
+            ee = [embeds["empty_prompt_embeds"] for _ in indices]
+            batch = {
                 "prompt_embeds": np.stack(pe),
                 "empty_prompt_embeds": np.stack(ee),
             }
+            if moments is not None:
+                batch["latent_moments"] = np.stack([moments[i] for i in indices])
+            else:
+                batch["pixel_values"] = np.stack(
+                    [transform(Image.open(ds.records[i].image)) for i in indices]
+                )
+            return batch
 
         return collate
+
+    def _precompute_latent_moments(self, ds, resolution):
+        from PIL import Image
+
+        from ..data.preprocess import LatentMomentsCache, image_transform
+
+        fixed = image_transform(resolution, center_crop=True, random_flip=False)
+
+        @jax.jit
+        def encode_moments(px):
+            mean, logvar = self.vae.apply(
+                {"params": self.vae_params}, px, method=self.vae.encode_moments
+            )
+            return mean, logvar
+
+        cache = LatentMomentsCache(
+            lambda imgs: encode_moments(jnp.asarray(imgs)),
+            cache_dir=self.config.get("cache_dir") or self.logging_dir,
+        )
+        images = [fixed(Image.open(r.image)) for r in ds.records]
+        return cache(np.stack(images))
 
     def _precompute_text_embeddings(self, captions):
         """Tokenize + encode all captions once with the Flax CLIP tower."""
