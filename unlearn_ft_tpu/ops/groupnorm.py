@@ -1,0 +1,111 @@
+"""Fused GroupNorm + SiLU Pallas TPU kernel.
+
+The U-Net resnet hot path is GN -> SiLU -> conv twice per block
+(models/unet.py::ResnetBlock2D). XLA fuses these reasonably; this kernel
+keeps the whole feature map resident in VMEM for the stats + normalize +
+activation (one HBM round trip instead of two) for latent-resolution maps
+that fit on-chip. Falls back to plain XLA ops for oversized inputs (VAE
+resolutions) and on non-TPU backends.
+
+Backward runs through a custom VJP that recomputes via the XLA reference
+implementation (rematerialization — no residuals besides the input).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+_VMEM_BUDGET_BYTES = 8 * 1024 * 1024
+
+
+def _xla_group_norm_silu(x, scale, bias, groups: int, eps: float):
+    b, h, w, c = x.shape
+    xg = x.reshape(b, h * w, groups, c // groups).astype(jnp.float32)
+    mean = xg.mean(axis=(1, 3), keepdims=True)
+    var = jnp.mean((xg - mean) ** 2, axis=(1, 3), keepdims=True)
+    y = (xg - mean) * jax.lax.rsqrt(var + eps)
+    y = y.reshape(b, h, w, c) * scale + bias
+    return (y * jax.nn.sigmoid(y)).astype(x.dtype)
+
+
+def _kernel(x_ref, scale_ref, bias_ref, gmap_ref, o_ref, *, groups: int, eps: float):
+    # group statistics via matmuls with the [C, G] one-hot group map — Mosaic
+    # cannot reshape across the lane dimension, and the MXU does these sums
+    # essentially for free
+    x = x_ref[0].astype(jnp.float32)  # [HW, C]
+    hw, c = x.shape
+    cg = c // groups
+    gmap = gmap_ref[0].astype(jnp.float32)  # [C, G]
+    n = hw * cg
+    s1 = jnp.dot(jnp.sum(x, axis=0, keepdims=True), gmap,
+                 preferred_element_type=jnp.float32)  # [1, G]
+    s2 = jnp.dot(jnp.sum(x * x, axis=0, keepdims=True), gmap,
+                 preferred_element_type=jnp.float32)
+    mean_g = s1 / n
+    var_g = s2 / n - mean_g * mean_g
+    mean_c = jnp.dot(mean_g, gmap.T, preferred_element_type=jnp.float32)  # [1, C]
+    rstd_c = jnp.dot(jax.lax.rsqrt(var_g + eps), gmap.T,
+                     preferred_element_type=jnp.float32)
+    y = (x - mean_c) * rstd_c
+    y = y * scale_ref[0].astype(jnp.float32) + bias_ref[0].astype(jnp.float32)
+    o_ref[0] = (y * jax.nn.sigmoid(y)).astype(o_ref.dtype)
+
+
+def _group_map(c: int, groups: int) -> jnp.ndarray:
+    import numpy as np
+
+    m = np.zeros((c, groups), np.float32)
+    m[np.arange(c), np.arange(c) // (c // groups)] = 1.0
+    return jnp.asarray(m)
+
+
+def _pallas_group_norm_silu(x, scale, bias, groups: int, eps: float):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, h, w, c = x.shape
+    hw = h * w
+    x2 = x.reshape(b, hw, c)
+    out = pl.pallas_call(
+        functools.partial(_kernel, groups=groups, eps=eps),
+        out_shape=jax.ShapeDtypeStruct((b, hw, c), x.dtype),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, hw, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, groups), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, hw, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+    )(x2, scale.reshape(1, 1, c), bias.reshape(1, 1, c), _group_map(c, groups)[None])
+    return out.reshape(b, h, w, c)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def group_norm_silu(x, scale, bias, groups: int = 32, eps: float = 1e-5):
+    import os
+
+    b, h, w, c = x.shape
+    fits = (h * w * c * 4) <= _VMEM_BUDGET_BYTES
+    # the Pallas path currently crashes this image's Mosaic compile helper
+    # (tpu_compile_helper HTTP 500); XLA's own GN+SiLU fusion is competitive,
+    # so the kernel is opt-in until the compiler path is debugged
+    use_pallas = os.environ.get("UNLEARN_FT_TPU_PALLAS_GN") == "1"
+    if use_pallas and fits and jax.default_backend() == "tpu":
+        return _pallas_group_norm_silu(x, scale, bias, groups, eps)
+    return _xla_group_norm_silu(x, scale, bias, groups, eps)
+
+
+def _fwd(x, scale, bias, groups, eps):
+    return group_norm_silu(x, scale, bias, groups, eps), (x, scale, bias)
+
+
+def _bwd(groups, eps, res, g):
+    x, scale, bias = res
+    _, vjp = jax.vjp(lambda a, s, b: _xla_group_norm_silu(a, s, b, groups, eps), x, scale, bias)
+    return vjp(g)
+
+
+group_norm_silu.defvjp(_fwd, _bwd)
