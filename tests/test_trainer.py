@@ -121,3 +121,25 @@ def test_finetune_from_pruning_checkpoint():
         t = FineTuneTrainer(cfg)
         np.testing.assert_allclose(t.arch_vector[0], emb[2])
         t.train()
+
+
+def test_finetune_from_reference_torch_checkpoint():
+    """Interop: the reference's pruning artifact is a torch .pt of
+    embedding_gs (trainer.py:2159-2161); loading it must work unchanged."""
+    import pytest
+
+    torch = pytest.importorskip("torch")
+    from unlearn_ft_tpu.training.finetune import load_arch_vector_from_pruning_ckpt
+
+    with tempfile.TemporaryDirectory() as tmp:
+        emb = np.random.default_rng(0).uniform(0, 1, (8, 50)).astype(np.float32)
+        torch.save(torch.tensor(emb), os.path.join(tmp, "quantizer_embeddings.pt"))
+        v = load_arch_vector_from_pruning_ckpt(tmp, 5)
+        np.testing.assert_allclose(v[0], emb[5])
+
+        # reference layout variant: quantizer/ subfolder
+        sub = os.path.join(tmp, "sub", "quantizer")
+        os.makedirs(sub)
+        torch.save(torch.tensor(emb), os.path.join(sub, "quantizer_embeddings.pt"))
+        v2 = load_arch_vector_from_pruning_ckpt(os.path.join(tmp, "sub"), 3)
+        np.testing.assert_allclose(v2[0], emb[3])
