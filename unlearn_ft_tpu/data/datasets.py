@@ -73,7 +73,12 @@ class CC3M:
 
 
 class HFDataset:
-    """Wrap a HuggingFace dataset (e.g. rezashkv/controlled_distillation)."""
+    """Wrap a HuggingFace dataset (e.g. rezashkv/controlled_distillation).
+
+    When ``split="validation"`` and the dataset has no validation split, a
+    deterministic held-out slice is carved from train with the reference's
+    parameters (train_test_split(test_size=0.083333, seed=42),
+    data_utils.py:63-67)."""
 
     def __init__(self, name_or_path: str, split: str = "train",
                  image_column: str = "image", caption_column: str = "caption",
@@ -81,7 +86,14 @@ class HFDataset:
                  cache_dir: Optional[str] = None):
         import datasets as hfds
 
-        ds = hfds.load_dataset(name_or_path, split=split, cache_dir=cache_dir)
+        try:
+            ds = hfds.load_dataset(name_or_path, split=split, cache_dir=cache_dir)
+        except ValueError:
+            if split not in ("train", "validation"):
+                raise
+            full = hfds.load_dataset(name_or_path, split="train", cache_dir=cache_dir)
+            parts = full.train_test_split(test_size=0.083333, seed=42)
+            ds = parts["train"] if split == "train" else parts["test"]
         if style_filter is not None:
             ds = ds.filter(lambda ex: style_filter in str(ex.get("style", "")))
         if max_samples:
@@ -114,23 +126,39 @@ class SyntheticDataset:
         return Record(None, self.captions[i])
 
 
-def get_dataset(config) -> object:
-    """Dispatch mirroring data_utils.get_dataset (path substring rules)."""
+def get_dataset(config, split: str = "train") -> object:
+    """Dispatch mirroring data_utils.get_dataset (path substring rules),
+    with the reference's train/validation contract (data_utils.py:12-68):
+    COCO validation = val{year} annotations, HF validation = named split or
+    a deterministic held-out slice, CC3M validation = validation TSV."""
     data = config.data
+    max_samples = (
+        data.get("max_train_samples")
+        if split == "train"
+        else data.get("max_validation_samples")
+    )
     if data.get("dataset_name"):
         return HFDataset(
             data.dataset_name,
+            split=split,
             image_column=data.get("image_column", "image"),
             caption_column=data.get("caption_column", "caption"),
-            max_samples=data.get("max_train_samples"),
+            max_samples=max_samples,
         )
     data_dir = data.get("data_dir", "") or ""
     if "coco" in data_dir.lower():
-        return CocoCaptions(data_dir, year=data.get("year", 2017),
-                            max_samples=data.get("max_train_samples"))
+        return CocoCaptions(
+            data_dir, year=data.get("year", 2017),
+            split="train" if split == "train" else "val",
+            max_samples=max_samples,
+        )
     if "cc3m" in data_dir.lower() or "conceptual" in data_dir.lower():
-        return CC3M(data_dir, max_samples=data.get("max_train_samples"))
+        path = data_dir
+        if split != "train" and data.get("validation_data_file"):
+            path = data.validation_data_file
+        return CC3M(path, max_samples=max_samples)
     if data_dir == "synthetic" or not data_dir:
-        return SyntheticDataset(n=data.get("max_train_samples") or 64,
-                                resolution=data.get("resolution", 16))
+        n = max_samples or (64 if split == "train" else 16)
+        return SyntheticDataset(n=n, resolution=data.get("resolution", 16),
+                                seed=0 if split == "train" else 1)
     raise ValueError(f"cannot infer dataset type from {data_dir}")

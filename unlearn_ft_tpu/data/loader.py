@@ -76,5 +76,11 @@ class DataLoader:
         self._epoch += 1
 
     def infinite(self) -> Iterator[dict]:
+        if len(self) == 0:
+            raise ValueError(
+                "DataLoader has no complete batches: "
+                f"{len(self.records)} records / {self.num_shards} shards "
+                f"< batch_size {self.batch_size} (is the dataset over-filtered?)"
+            )
         while True:
             yield from self

@@ -133,16 +133,82 @@ class FineTuneTrainer(BaseTrainer):
     # ---- data ---------------------------------------------------------------
     def init_datasets(self):
         cfg = self.config
-        ds = get_dataset(cfg)
+        ds = get_dataset(cfg, "train")
         ds = self._maybe_filter_by_expert(ds)
         self.dataset = ds
         bs = int(cfg.get_path("data.dataloader.train_batch_size", 8))
         # per-host shard of the records (replaces DistributedSampler /
         # dist_utils.nodesplitter; device-level sharding happens in shard_batch)
         self.train_loader = DataLoader(
-            list(range(len(ds))), bs, self._make_collate(ds), seed=self.seed,
+            list(range(len(ds))), bs, self._make_collate(ds, train=True), seed=self.seed,
             num_shards=jax.process_count(), shard_index=jax.process_index(),
         )
+        # held-out validation split (reference keeps dataset["validation"] and
+        # truncates to max_validation_samples, trainer.py:89-93, 252-258)
+        try:
+            val_ds = get_dataset(cfg, "validation")
+        except Exception as e:  # e.g. COCO dir without val annotations
+            logger.warning("no validation split (%s); validate() uses losses only on train", e)
+            self.val_dataset = self.val_loader = None
+            return
+        self.val_dataset = val_ds
+        vbs = int(cfg.get_path("data.dataloader.validation_batch_size", 0) or bs)
+        self.val_loader = DataLoader(
+            list(range(len(val_ds))), vbs, self._make_collate(val_ds, train=False),
+            shuffle=False, seed=self.seed,
+            num_shards=jax.process_count(), shard_index=jax.process_index(),
+        )
+
+    def _mpnet_encoder(self):
+        """Caption list -> mean-pooled MPNet embeddings, or None when the
+        MPNet tower has no weights. Shared by dataset filtering and the
+        text-embedding precompute (reference encodes per batch in-loop,
+        data_utils.py:231-244)."""
+        if self.mpnet_params is None:
+            return None
+        from transformers import AutoTokenizer
+
+        from ..models.mpnet import mean_pool
+
+        tok = AutoTokenizer.from_pretrained(str(self.config.get("mpnet_model")))
+        # fixed pad length so the jitted tower compiles once per precompute
+        pad_len = min(int(getattr(tok, "model_max_length", 128) or 128), 128)
+
+        @jax.jit
+        def fwd(ids, mask):
+            hidden = self.mpnet.apply({"params": self.mpnet_params}, ids, mask)
+            return mean_pool(hidden, mask)
+
+        def encode(captions):
+            enc = tok(captions, padding="max_length", truncation=True,
+                      max_length=pad_len, return_tensors="np")
+            return fwd(jnp.asarray(enc["input_ids"]), jnp.asarray(enc["attention_mask"]))
+
+        return encode
+
+    def _load_pruning_hypernet(self, input_dim: int):
+        """Hypernet params from a pruning checkpoint: the reference's torch
+        layout (hypernet/ subfolder with safetensors/bin) or this framework's
+        own orbax pruning checkpoint (PruningTrainer.save_checkpoint)."""
+        from ..models.hypernet import convert_hypernet
+        from ..models.convert import load_torch_state_dict
+
+        root = str(self.config.pruning_ckpt_dir)
+        hdir = os.path.join(root, "hypernet")
+        for name in ("diffusion_pytorch_model.safetensors", "pytorch_model.bin",
+                     "model.safetensors"):
+            p = os.path.join(hdir, name)
+            if os.path.exists(p):
+                return convert_hypernet(load_torch_state_dict(p), self.layout)
+        state_dir = os.path.join(root, "state")
+        if os.path.isdir(state_dir):
+            import orbax.checkpoint as ocp
+
+            tree = ocp.StandardCheckpointer().restore(state_dir)
+            hp = tree.get("trainable", {}).get("hypernet")
+            if hp is not None:
+                return jax.tree.map(np.asarray, hp)
+        return None
 
     def _maybe_filter_by_expert(self, ds):
         """Keep only captions routed to this expert (reference
@@ -153,42 +219,23 @@ class FineTuneTrainer(BaseTrainer):
         if not (cfg.get_path("data.filter_dataset") and cfg.get("pruning_ckpt_dir")
                 and cfg.get("expert_id") is not None):
             return ds
-        if isinstance(ds, SyntheticDataset) or self.mpnet_params is None:
+        encode_mpnet = None if isinstance(ds, SyntheticDataset) else self._mpnet_encoder()
+        if encode_mpnet is None:
             logger.warning("filter_dataset requested but MPNet weights unavailable; skipping")
             return ds
-        from transformers import AutoTokenizer
 
         from ..data import filter_dataset_by_expert
         from ..data.preprocess import TextEmbeddingCache
-        from ..models.hypernet import HyperStructure, convert_hypernet
+        from ..models.hypernet import HyperStructure
         from ..models.quantizer import QuantizerConfig
-        from ..models.mpnet import mean_pool
 
-        tok = AutoTokenizer.from_pretrained(cfg.get("mpnet_model"))
-
-        def encode_mpnet(captions):
-            enc = tok(captions, padding=True, truncation=True, return_tensors="np")
-            hidden = self.mpnet.apply(
-                {"params": self.mpnet_params}, jnp.asarray(enc["input_ids"]),
-                jnp.asarray(enc["attention_mask"]),
-            )
-            return mean_pool(hidden, jnp.asarray(enc["attention_mask"]))
-
-        cache = TextEmbeddingCache(lambda c: encode_mpnet(c), None,
-                                   cfg.get("cache_dir"), batch_size=256)
+        cache = TextEmbeddingCache(encode_mpnet, None, cfg.get("cache_dir"),
+                                   batch_size=256)
         emb, _ = cache([r.caption for r in ds.records])
 
-        from ..models.convert import load_torch_state_dict
-
         hn = HyperStructure(self.layout, input_dim=emb.shape[1])
-        hdir = os.path.join(cfg.pruning_ckpt_dir, "hypernet")
-        for name in ("diffusion_pytorch_model.safetensors", "pytorch_model.bin",
-                     "model.safetensors"):
-            p = os.path.join(hdir, name)
-            if os.path.exists(p):
-                hparams = convert_hypernet(load_torch_state_dict(p), self.layout)
-                break
-        else:
+        hparams = self._load_pruning_hypernet(emb.shape[1])
+        if hparams is None:
             logger.warning("no hypernet weights in pruning ckpt; skipping filtering")
             return ds
         qcfg = QuantizerConfig(layout=self.layout)
@@ -201,6 +248,11 @@ class FineTuneTrainer(BaseTrainer):
         kept = [r for r, m in zip(ds.records, mask) if m]
         logger.info("expert %s dataset filter: kept %d/%d captions",
                     cfg.expert_id, len(kept), len(ds.records))
+        if not kept:
+            raise ValueError(
+                f"expert {cfg.expert_id} was assigned 0/{len(ds.records)} "
+                "captions — wrong expert_id or a collapsed codebook"
+            )
 
         class _Filtered:
             def __init__(self, records):
@@ -214,7 +266,7 @@ class FineTuneTrainer(BaseTrainer):
 
         return _Filtered(kept)
 
-    def _make_collate(self, ds):
+    def _make_collate(self, ds, train: bool = True):
         cfg = self.config
         resolution = int(cfg.get_path("model.prediction_model.resolution", 512))
         seq = int(cfg.get_path("data.synthetic_seq_len", 7))
@@ -223,7 +275,7 @@ class FineTuneTrainer(BaseTrainer):
 
         if synthetic:
             res = int(cfg.get_path("data.resolution", 16))
-            rng = np.random.default_rng(self.seed)
+            rng = np.random.default_rng(self.seed if train else self.seed + 1)
 
             def collate(indices):
                 b = len(indices)
@@ -240,8 +292,8 @@ class FineTuneTrainer(BaseTrainer):
 
         transform = image_transform(
             resolution,
-            center_crop=bool(cfg.get_path("data.dataloader.center_crop", False)),
-            random_flip=bool(cfg.get_path("data.dataloader.random_flip", True)),
+            center_crop=(not train) or bool(cfg.get_path("data.dataloader.center_crop", False)),
+            random_flip=train and bool(cfg.get_path("data.dataloader.random_flip", True)),
         )
         embeds = self._precompute_text_embeddings([r.caption for r in ds.records])
 
@@ -258,11 +310,17 @@ class FineTuneTrainer(BaseTrainer):
             pe = [embeds["prompt_embeds"][i] for i in indices]
             ee = [embeds["empty_prompt_embeds"] for _ in indices]
             batch = {
-                "prompt_embeds": np.stack(pe),
-                "empty_prompt_embeds": np.stack(ee),
+                "prompt_embeds": np.stack(pe).astype(np.float32),
+                "empty_prompt_embeds": np.stack(ee).astype(np.float32),
             }
+            if embeds.get("mpnet") is not None:
+                batch["mpnet_embeddings"] = np.stack(
+                    [embeds["mpnet"][i] for i in indices]
+                ).astype(np.float32)
             if moments is not None:
-                batch["latent_moments"] = np.stack([moments[i] for i in indices])
+                batch["latent_moments"] = np.stack(
+                    [moments[i] for i in indices]
+                ).astype(np.float32)
             else:
                 batch["pixel_values"] = np.stack(
                     [transform(Image.open(ds.records[i].image)) for i in indices]
@@ -272,9 +330,7 @@ class FineTuneTrainer(BaseTrainer):
         return collate
 
     def _precompute_latent_moments(self, ds, resolution):
-        from PIL import Image
-
-        from ..data.preprocess import LatentMomentsCache, image_transform
+        from ..data.preprocess import LatentMomentsCache, LazyImages, image_transform
 
         fixed = image_transform(resolution, center_crop=True, random_flip=False)
 
@@ -289,38 +345,50 @@ class FineTuneTrainer(BaseTrainer):
             lambda imgs: encode_moments(jnp.asarray(imgs)),
             cache_dir=self.config.get("cache_dir") or self.logging_dir,
         )
-        images = [fixed(Image.open(r.image)) for r in ds.records]
-        return cache(np.stack(images))
+        # images decode lazily inside the cache: one encode batch in RAM
+        import hashlib
+
+        key = hashlib.sha1(
+            ("\x00".join(r.image or "" for r in ds.records) + f"@{resolution}").encode()
+        ).hexdigest()[:16]
+        return cache(LazyImages(ds.records, fixed), key=key)
 
     def _precompute_text_embeddings(self, captions):
-        """Tokenize + encode all captions once with the Flax CLIP tower."""
+        """Tokenize + encode all captions once with the Flax CLIP (+MPNet)
+        towers, streamed to on-disk memmaps (data/preprocess.py)."""
         assert self.text_params is not None, (
             "text encoder weights required for real datasets"
         )
         from transformers import CLIPTokenizer
 
+        from ..data.preprocess import TextEmbeddingCache
+
         root = str(self.config.get("pretrained_model_name_or_path", ""))
         tok = CLIPTokenizer.from_pretrained(os.path.join(root, "tokenizer"))
 
         @jax.jit
-        def encode(ids):
+        def fwd(ids):
             hidden, _ = self.text_encoder.apply({"params": self.text_params}, ids)
             return hidden
 
-        out = []
-        bs = 256
-        for i in range(0, len(captions), bs):
+        def encode_clip(chunk):
             ids = tok(
-                captions[i : i + bs], padding="max_length", truncation=True,
+                chunk, padding="max_length", truncation=True,
                 max_length=tok.model_max_length, return_tensors="np",
             ).input_ids
-            out.append(np.asarray(encode(jnp.asarray(ids))))
-        empty_ids = tok(
-            [""], padding="max_length", truncation=True,
-            max_length=tok.model_max_length, return_tensors="np",
-        ).input_ids
-        empty = np.asarray(encode(jnp.asarray(empty_ids)))[0]
-        return {"prompt_embeds": np.concatenate(out, 0), "empty_prompt_embeds": empty}
+            return fwd(jnp.asarray(ids))
+
+        cache = TextEmbeddingCache(
+            encode_clip, self._mpnet_encoder(),
+            cache_dir=self.config.get("cache_dir") or self.logging_dir,
+        )
+        prompt_embeds, mpnet = cache(list(captions))
+        empty = np.asarray(encode_clip([""]))[0]
+        return {
+            "prompt_embeds": prompt_embeds,
+            "empty_prompt_embeds": empty,
+            "mpnet": mpnet,
+        }
 
     # ---- optimization ---------------------------------------------------------
     def init_optimizers(self):
@@ -342,11 +410,14 @@ class FineTuneTrainer(BaseTrainer):
 
     # ---- validation / sample logging --------------------------------------------
     def validate(self):
-        """Validation losses (reference UnetFineTuner.validate,
-        trainer.py:2490-2533) over a few held-out batches, plus optional
+        """Validation losses on the held-out split (reference
+        UnetFineTuner.validate, trainer.py:2490-2533), plus optional
         sample-image logging when `data.prompts` is set."""
         import functools
 
+        if self.val_loader is None:
+            self.log_samples()
+            return
         if not hasattr(self, "_eval_fn"):
 
             @functools.partial(jax.jit)
@@ -371,10 +442,12 @@ class FineTuneTrainer(BaseTrainer):
 
         from ..parallel import shard_batch
 
+        max_batches = int(
+            self.config.get_path("training.max_validation_batches", 0) or 8
+        )
         losses = []
-        it = iter(self.train_loader)  # held-out split TODO: real val split
-        for i, batch in enumerate(it):
-            if i >= 2:
+        for i, batch in enumerate(self.val_loader):
+            if i >= max_batches:
                 break
             batch = shard_batch(batch, self.mesh)
             losses.append(float(self._eval_fn(

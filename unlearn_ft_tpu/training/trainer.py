@@ -190,9 +190,25 @@ class BaseTrainer:
         else:
             self.text_params = None  # tests use synthetic prompt embeddings
 
-        self.mpnet_cfg = MPNetConfig()
+        # MPNet prompt encoder (reference loads it unconditionally for the
+        # pruning stage and dataset filtering, trainer.py:790-800). Weights
+        # come from a local HF dir named by `mpnet_model`; tiny test configs
+        # may instead carry an explicit `model.mpnet_config`.
+        mp_cfg_dict = cfg.model.get("mpnet_config")
+        self.mpnet_cfg = MPNetConfig(**(mp_cfg_dict or {}))
         self.mpnet = MPNetModel(self.mpnet_cfg, dtype=self.dtype)
         self.mpnet_params = None
+        mp_root = str(cfg.get("mpnet_model") or "")
+        if os.path.isdir(mp_root):
+            from ..models.convert import convert_mpnet, load_torch_state_dict
+
+            for name in ("model.safetensors", "pytorch_model.bin"):
+                p = os.path.join(mp_root, name)
+                if os.path.exists(p):
+                    self.mpnet_params = convert_mpnet(
+                        load_torch_state_dict(p), self.mpnet_cfg.num_hidden_layers
+                    )
+                    break
 
     # ---- overridables -------------------------------------------------------
     def init_models(self):
