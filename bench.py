@@ -1,11 +1,14 @@
 """Benchmark: bilevel fine-tune throughput of the APTP-pruned SD-2.1 expert.
 
 Measures the framework's north-star metric (BASELINE.md): samples/sec/chip of
-the bilevel lower training step (VAE encode + teacher fwd + pruned-student
-fwd/bwd + distillation losses + AdamW) at 512px on real SD-2.1 shapes.
+the bilevel training mix — 9 lower steps (teacher fwd + pruned-student
+fwd/bwd + distillation losses + AdamW) and 1 ESD upper step (2 teacher fwds +
+student fwd/bwd on a second AdamW) per 10, the reference cadence
+(upper_step_freq=10, trainer.py:2793-2816) — at 512px on real SD-2.1 shapes.
 Weights are randomly/zeros initialized — throughput is weight-independent —
 and the student is a ~55%-MACs materialized expert, mirroring the reference's
-expert-2 checkpoint.
+expert-2 checkpoint. ``--lower-only`` reproduces round 1's lower-step-only
+number.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 ``vs_baseline`` is measured against an estimated 10 samples/sec/GPU for the
@@ -38,7 +41,7 @@ def build(args):
     from unlearn_ft_tpu.models.vae import AutoencoderKL, VAEConfig
     from unlearn_ft_tpu.schedulers import DiffusionSchedule
     from unlearn_ft_tpu.training.optim import make_optimizer
-    from unlearn_ft_tpu.training.steps import LossConfig, make_finetune_step
+    from unlearn_ft_tpu.training.steps import LossConfig, make_finetune_step, make_upper_step
 
     dtype = jnp.bfloat16 if not args.smoke else jnp.float32
     if args.smoke:
@@ -90,19 +93,25 @@ def build(args):
     loss_cfg = LossConfig()
     tx = make_optimizer(1e-6)
     step = make_finetune_step(student_mod, teacher_mod, vae, sched, loss_cfg, tx)
+    # upper optimizer: reference bilevel config (unet_unlearning_learning_rate
+    # 5e-6, configs/baselines/sd-2-1_coco_aptp_both_512_bilevel.yaml)
+    upper_tx = make_optimizer(5e-6)
+    upper_step = make_upper_step(student_mod, teacher_mod, vae, sched, loss_cfg, upper_tx)
 
     n_t = sum(x.size for x in jax.tree.leaves(teacher_params))
     n_s = sum(np.asarray(x).size for x in jax.tree.leaves(student_params))
     print(f"# teacher {n_t/1e6:.0f}M params, student {n_s/1e6:.0f}M ({100*n_s/n_t:.0f}%)",
           file=sys.stderr)
-    return step, tx, student_params, teacher_params, vae_params, resolution, seq, xdim
+    return (step, upper_step), (tx, upper_tx), student_params, teacher_params, vae_params, \
+        resolution, seq, xdim
 
 
 def run(args):
     import jax
     import jax.numpy as jnp
 
-    step, tx, student_params, teacher_params, vae_params, resolution, seq, xdim = build(args)
+    (step, upper_step), (tx, upper_tx), student_params, teacher_params, vae_params, \
+        resolution, seq, xdim = build(args)
 
     # largest-first; first success wins (b16 = 29.0 samples/s, b8 = 27.0 measured)
     batch_sizes = [args.batch_size] if args.batch_size else ([2] if args.smoke else [16, 8])
@@ -134,6 +143,7 @@ def run(args):
             # donates them; an extra device-resident master copy OOMs)
             params = put(student_params, np.float32)
             opt_state = tx.init(params)
+            upper_opt_state = None if args.lower_only else upper_tx.init(params)
             if args.precomputed_latents:
                 lat = resolution // 8 if not args.smoke else 8
                 batch = {
@@ -156,13 +166,25 @@ def run(args):
             # warmup/compile. NOTE: host value fetches (float()) are used as
             # the sync barrier — on the experimental axon platform,
             # block_until_ready returns before remote execution finishes.
-            print(f"# compiling step at batch {bs}...", file=sys.stderr, flush=True)
+            print(f"# compiling lower step at batch {bs}...", file=sys.stderr, flush=True)
             tw = time.perf_counter()
             params, opt_state, m = step(params, opt_state, frozen, batch, jax.random.PRNGKey(0))
             warm_loss = float(m["loss"])
             print(f"# compiled in {time.perf_counter()-tw:.1f}s (loss {warm_loss:.4f})",
                   file=sys.stderr, flush=True)
+            if not args.lower_only:
+                upper_batch = dict(batch)
+                upper_batch["empty_prompt_embeds"] = jnp.zeros_like(batch["prompt_embeds"])
+                print(f"# compiling upper step at batch {bs}...", file=sys.stderr, flush=True)
+                tw = time.perf_counter()
+                params, upper_opt_state, um = upper_step(
+                    params, upper_opt_state, frozen, upper_batch, jax.random.PRNGKey(0)
+                )
+                print(f"# compiled in {time.perf_counter()-tw:.1f}s "
+                      f"(upper loss {float(um['upper_loss']):.4f})",
+                      file=sys.stderr, flush=True)
             n_steps = args.steps
+            freq = 10  # reference training.upper_step_freq
             t0 = time.perf_counter()
             for i in range(n_steps):
                 params, opt_state, m = step(
@@ -170,9 +192,17 @@ def run(args):
                 )
                 _ = float(m["loss"])  # per-step sync: the params chain alone
                 # is not trustworthy as a barrier on this platform
+                if not args.lower_only and (i + 1) % freq == 0:
+                    params, upper_opt_state, um = upper_step(
+                        params, upper_opt_state, frozen, upper_batch,
+                        jax.random.PRNGKey(10_000 + i),
+                    )
+                    _ = float(um["upper_loss"])
             dt = time.perf_counter() - t0
             sps = bs * n_steps / dt
-            print(f"# batch {bs}: {sps:.3f} samples/sec ({dt/n_steps*1e3:.1f} ms/step)",
+            mode = "lower-only" if args.lower_only else f"bilevel (1 upper per {freq})"
+            print(f"# batch {bs} {mode}: {sps:.3f} samples/sec "
+                  f"({dt/n_steps*1e3:.1f} ms/lower-step incl. upper share)",
                   file=sys.stderr)
             if best is None or sps > best:
                 best = sps
@@ -254,16 +284,27 @@ def main():
     p.add_argument("--in-loop-vae", action="store_true",
                    help="encode pixels with the VAE inside the train step "
                         "(the reference's hot path; apples-to-apples mode)")
+    p.add_argument("--lower-only", action="store_true",
+                   help="measure the lower step alone (round-1 metric) instead "
+                        "of the true 9-lower+1-upper bilevel cadence")
     args = p.parse_args()
     # production default: VAE posterior moments precomputed once per dataset
     # (identical training distribution; the encoder costs more FLOPs than the
     # teacher U-Net at 512px — measured 35.6 vs 29.0 samples/sec/chip)
     args.precomputed_latents = not args.in_loop_vae
 
-    if args.smoke:
-        import jax
+    import os
 
+    import jax
+
+    if args.smoke:
         jax.config.update("jax_platforms", "cpu")
+    # persistent compilation cache: the 512px step compiled in ~327s in round
+    # 1; warm re-runs (driver, sweeps) load the executable in seconds
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
 
     if args.gen:
         value = run_gen(args)

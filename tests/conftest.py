@@ -16,6 +16,16 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the suite's cost is XLA CPU compiles of tiny
+# models repeated across runs (21m cold in round 1); warm runs skip them.
+# XLA-level AOT caches are disabled — the jax-level executable cache is the
+# win, and the CPU AOT loader logs spurious machine-feature warnings.
+_cache_dir = os.path.join(os.path.dirname(__file__), os.pardir, ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
+
 import pytest  # noqa: E402
 
 

@@ -65,6 +65,76 @@ def test_uce_edit_changes_only_cross_attn(unet_setup):
     assert cos > 0.9
 
 
+def test_uce_edit_covers_all_transformer_layers():
+    """SDXL-style multi-layer transformers: every layer's attn2 must be
+    edited (reference collects transformer.attn2 per transformer_block,
+    train_erase.py:191-210) — round-1 only touched transformer_blocks_0."""
+    cfg = UNetConfig(
+        sample_size=4,
+        block_out_channels=(16, 32),
+        layers_per_block=1,
+        transformer_layers_per_block=(1, 2),
+        num_attention_heads=(2, 4),
+        cross_attention_dim=16,
+        norm_num_groups=4,
+        ff_gate_width=4,
+        upcast_attention=False,
+        down_block_types=("DownBlock2DHalfGated", "CrossAttnDownBlock2DHalfGated"),
+        up_block_types=("CrossAttnUpBlock2DHalfGated", "UpBlock2DHalfGated"),
+        addition_embed_type="text_time",
+        addition_time_embed_dim=8,
+        projection_class_embeddings_input_dim=8 * 6 + 12,
+    )
+    spec = build_unet_spec(cfg)
+    unet = UNet2DConditionModel(spec)
+    params = unet.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 4, 4, 4)), jnp.array([0]),
+        jnp.zeros((1, 7, 16)),
+        added_cond={"text_embeds": jnp.zeros((1, 12)), "time_ids": jnp.zeros((1, 6))},
+    )["params"]
+    rng = np.random.default_rng(0)
+    old = rng.standard_normal((1, 16)).astype(np.float32)
+    new = rng.standard_normal((1, 16)).astype(np.float32)
+    edited = uce_edit(params, spec, old, new, lamb=0.5)
+    block = "down_blocks_1"
+    for li in range(spec.down[1].transformers[0].num_layers):
+        tb = f"transformer_blocks_{li}"
+        a_old = np.asarray(params[block]["attentions_0"][tb]["attn2"]["to_v"]["kernel"])
+        a_new = np.asarray(edited[block]["attentions_0"][tb]["attn2"]["to_v"]["kernel"])
+        assert not np.allclose(a_old, a_new), f"layer {li} not edited"
+
+
+def test_uce_debias_edit_zero_weights_is_identity(unet_setup):
+    """With all attribute weights zero the debias target equals the concept's
+    own projection, and the closed form reduces to W' = W exactly."""
+    from unlearn_ft_tpu.baselines.uce import debias_weight_update, uce_debias_edit
+
+    cfg, spec, unet, params = unet_setup
+    rng = np.random.default_rng(1)
+    concept = rng.standard_normal((3, 16)).astype(np.float32)  # 3-token span
+    attrs = [rng.standard_normal((3, 16)).astype(np.float32) for _ in range(2)]
+    edited = uce_debias_edit(
+        params, spec, [concept], [attrs], [np.zeros(2)], lamb=0.1, erase_scale=0.1
+    )
+    tb = "transformer_blocks_0"
+    a_old = np.asarray(params["down_blocks_0"]["attentions_0"][tb]["attn2"]["to_k"]["kernel"])
+    a_new = np.asarray(edited["down_blocks_0"]["attentions_0"][tb]["attn2"]["to_k"]["kernel"])
+    np.testing.assert_allclose(a_old, a_new, atol=1e-5)
+
+    # nonzero weights move the kernel
+    edited2 = uce_debias_edit(
+        params, spec, [concept], [attrs], [np.array([0.3, -0.3])], lamb=0.1,
+        erase_scale=0.1,
+    )
+    a_new2 = np.asarray(edited2["down_blocks_0"]["attentions_0"][tb]["attn2"]["to_k"]["kernel"])
+    assert not np.allclose(a_old, a_new2)
+
+    # controller: converged concepts get zero delta
+    delta, conv = debias_weight_update(np.array([[0.52, 0.48], [0.9, 0.1]]))
+    assert conv[0] and not conv[1]
+    assert np.all(delta[0] == 0) and delta[1, 1] > 0
+
+
 def test_esd_mask_and_step(unet_setup):
     cfg, spec, unet, params = unet_setup
     mask = esd_param_mask(params, "noxattn")

@@ -30,6 +30,25 @@ def timestep_embedding(
     return out
 
 
+class GroupNormSiLU(nn.Module):
+    """GroupNorm fused with SiLU via ops.groupnorm.group_norm_silu (one HBM
+    round trip on TPU; XLA-fused elsewhere). Param tree is identical to
+    ``nn.GroupNorm`` (scale/bias), so converted/pruned weights drop in."""
+
+    num_groups: int
+    epsilon: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from ..ops.groupnorm import group_norm_silu
+
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        return group_norm_silu(x, scale, bias, self.num_groups, self.epsilon)
+
+
 class TimestepEmbedding(nn.Module):
     time_embed_dim: int
     dtype: jnp.dtype = jnp.float32

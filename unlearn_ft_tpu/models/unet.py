@@ -23,6 +23,7 @@ from ..utils.arch import Structure
 from .attention import BasicTransformerBlock
 from .layers import (
     Downsample2D,
+    GroupNormSiLU,
     TimestepEmbedding,
     Upsample2D,
     broadcast_gate,
@@ -62,8 +63,7 @@ class ResnetBlock2D(nn.Module):
         if s.dropped:
             return x_res
 
-        h = nn.GroupNorm(s.norm1_groups, epsilon=s.eps, dtype=self.dtype, name="norm1")(x)
-        h = nn.silu(h)
+        h = GroupNormSiLU(s.norm1_groups, s.eps, self.dtype, name="norm1")(x)
         h = nn.Conv(
             s.hidden_channels, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv1"
         )(h)
@@ -76,8 +76,7 @@ class ResnetBlock2D(nn.Module):
             )[:, None, None, :].astype(h.dtype)
             h = h * m
 
-        h = nn.GroupNorm(s.norm2_groups, epsilon=s.eps, dtype=self.dtype, name="norm2")(h)
-        h = nn.silu(h)
+        h = GroupNormSiLU(s.norm2_groups, s.eps, self.dtype, name="norm2")(h)
         h = nn.Conv(
             s.out_channels, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv2"
         )(h)
@@ -361,8 +360,7 @@ class UNet2DConditionModel(nn.Module):
             block_acts[f"u{i}"] = h
             bi += 1
 
-        h = nn.GroupNorm(s.norm_num_groups, epsilon=1e-5, dtype=self.dtype, name="conv_norm_out")(h)
-        h = nn.silu(h)
+        h = GroupNormSiLU(s.norm_num_groups, 1e-5, self.dtype, name="conv_norm_out")(h)
         h = nn.Conv(
             s.out_channels, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv_out"
         )(h)

@@ -14,6 +14,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from .layers import GroupNormSiLU
+
 
 @dataclass(frozen=True)
 class VAEConfig:
@@ -33,12 +35,10 @@ class VAEResnet(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        h = nn.GroupNorm(self.groups, epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
-        h = nn.silu(h)
+        h = GroupNormSiLU(self.groups, 1e-6, self.dtype, name="norm1")(x)
         h = nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype,
                     name="conv1")(h)
-        h = nn.GroupNorm(self.groups, epsilon=1e-6, dtype=self.dtype, name="norm2")(h)
-        h = nn.silu(h)
+        h = GroupNormSiLU(self.groups, 1e-6, self.dtype, name="norm2")(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype,
                     name="conv2")(h)
         if x.shape[-1] != self.out_channels:
@@ -97,8 +97,7 @@ class Encoder(nn.Module):
                 h = nn.Conv(ch, (3, 3), strides=(2, 2), padding="VALID", dtype=self.dtype,
                             name=f"down_blocks_{i}_downsampler")(h)
         h = VAEMidBlock(c.block_out_channels[-1], c.norm_num_groups, self.dtype, name="mid_block")(h)
-        h = nn.GroupNorm(c.norm_num_groups, epsilon=1e-6, dtype=self.dtype, name="conv_norm_out")(h)
-        h = nn.silu(h)
+        h = GroupNormSiLU(c.norm_num_groups, 1e-6, self.dtype, name="conv_norm_out")(h)
         return nn.Conv(2 * c.latent_channels, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype,
                        name="conv_out")(h)
 
@@ -122,8 +121,7 @@ class Decoder(nn.Module):
                 h = jax.image.resize(h, (b, hh * 2, ww * 2, cc), method="nearest")
                 h = nn.Conv(ch, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype,
                             name=f"up_blocks_{i}_upsampler")(h)
-        h = nn.GroupNorm(c.norm_num_groups, epsilon=1e-6, dtype=self.dtype, name="conv_norm_out")(h)
-        h = nn.silu(h)
+        h = GroupNormSiLU(c.norm_num_groups, 1e-6, self.dtype, name="conv_norm_out")(h)
         return nn.Conv(c.out_channels, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype,
                        name="conv_out")(h)
 
