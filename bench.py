@@ -78,7 +78,9 @@ def build(args):
 
     arch = layout.random_arch_vector(args.keep_ratio, seed=0)
     student_spec, student_params = materialize_pruned(spec, layout, teacher_params, arch)
-    student_mod = UNet2DConditionModel(student_spec, dtype=dtype)
+    # remat: the bilevel mix holds TWO AdamW states (+~4GB at 508M params);
+    # per-block rematerialization buys back the activation memory on v5e-16GB
+    student_mod = UNet2DConditionModel(student_spec, dtype=dtype, remat=args.remat)
 
     vae = AutoencoderKL(vae_cfg, dtype=dtype)
     v_shape = jax.eval_shape(
@@ -284,6 +286,9 @@ def main():
     p.add_argument("--in-loop-vae", action="store_true",
                    help="encode pixels with the VAE inside the train step "
                         "(the reference's hot path; apples-to-apples mode)")
+    p.add_argument("--remat", action=argparse.BooleanOptionalAction, default=True,
+                   help="gradient checkpointing on the student (needed for the "
+                        "two-optimizer bilevel mix to fit 16GB HBM)")
     p.add_argument("--lower-only", action="store_true",
                    help="measure the lower step alone (round-1 metric) instead "
                         "of the true 9-lower+1-upper bilevel cadence")

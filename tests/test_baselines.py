@@ -135,6 +135,79 @@ def test_uce_debias_edit_zero_weights_is_identity(unet_setup):
     assert np.all(delta[0] == 0) and delta[1, 1] > 0
 
 
+def test_overlay_accepts_reference_torch_formats(unet_setup, tmp_path):
+    """ESD FineTunedModel nested .pt (unet.-prefixed, {'weight','bias'} leafs)
+    and flat diffusers-naming state dicts both overlay correctly with the
+    right transposes (generate_fid_images.py:97-111)."""
+    torch = pytest.importorskip("torch")
+    from unlearn_ft_tpu.baselines.overlay import apply_erasure_overlay
+
+    cfg, spec, unet, params = unet_setup
+    tb = params["down_blocks_0"]["attentions_0"]["transformer_blocks_0"]["attn2"]
+    k_kernel = np.asarray(tb["to_k"]["kernel"])  # [d_text, inner]
+    rng = np.random.default_rng(0)
+    new_w = rng.standard_normal((k_kernel.shape[1], k_kernel.shape[0])).astype(np.float32)
+
+    # ESD nested format
+    esd_sd = {
+        "unet.down_blocks.0.attentions.0.transformer_blocks.0.attn2.to_k": {
+            "weight": torch.tensor(new_w)
+        }
+    }
+    esd_path = tmp_path / "esd_overlay.pt"
+    torch.save(esd_sd, esd_path)
+    out = apply_erasure_overlay(params, spec, str(esd_path))
+    got = np.asarray(
+        out["down_blocks_0"]["attentions_0"]["transformer_blocks_0"]["attn2"]["to_k"]["kernel"]
+    )
+    np.testing.assert_allclose(got, new_w.T)
+    # untouched elsewhere
+    np.testing.assert_array_equal(
+        np.asarray(out["conv_in"]["kernel"]), np.asarray(params["conv_in"]["kernel"])
+    )
+
+    # flat diffusers format: conv [o,i,h,w] and norm weight->scale
+    conv_k = np.asarray(params["conv_in"]["kernel"])  # [h,w,i,o]
+    new_conv = rng.standard_normal(
+        (conv_k.shape[3], conv_k.shape[2], conv_k.shape[0], conv_k.shape[1])
+    ).astype(np.float32)
+    norm_scale = np.asarray(
+        params["down_blocks_0"]["resnets_0"]["norm1"]["scale"]
+    )
+    flat_sd = {
+        "conv_in.weight": torch.tensor(new_conv),
+        "down_blocks.0.resnets.0.norm1.weight": torch.tensor(norm_scale * 2),
+        "down_blocks.0.attentions.0.transformer_blocks.0.ff.net.0.proj.bias": torch.tensor(
+            np.asarray(
+                params["down_blocks_0"]["attentions_0"]["transformer_blocks_0"]["ff"][
+                    "net_0"
+                ]["proj"]["bias"]
+            )
+            + 1
+        ),
+    }
+    flat_path = tmp_path / "uce_overlay.pt"
+    torch.save(flat_sd, flat_path)
+    out2 = apply_erasure_overlay(params, spec, str(flat_path))
+    np.testing.assert_allclose(
+        np.asarray(out2["conv_in"]["kernel"]), new_conv.transpose(2, 3, 1, 0)
+    )
+    np.testing.assert_allclose(
+        np.asarray(out2["down_blocks_0"]["resnets_0"]["norm1"]["scale"]), norm_scale * 2
+    )
+
+    # bogus keys fail loudly in strict mode, are skipped otherwise
+    bad_path = tmp_path / "bad.pt"
+    torch.save({"nonexistent.module.weight": torch.zeros(3, 3),
+                "conv_in.weight": torch.tensor(new_conv)}, bad_path)
+    with pytest.raises(ValueError):
+        apply_erasure_overlay(params, spec, str(bad_path))
+    out3 = apply_erasure_overlay(params, spec, str(bad_path), strict=False)
+    np.testing.assert_allclose(
+        np.asarray(out3["conv_in"]["kernel"]), new_conv.transpose(2, 3, 1, 0)
+    )
+
+
 def test_esd_mask_and_step(unet_setup):
     cfg, spec, unet, params = unet_setup
     mask = esd_param_mask(params, "noxattn")

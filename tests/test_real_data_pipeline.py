@@ -154,3 +154,165 @@ def test_pruner_real_data_and_own_ckpt_filtering(assets, tmp_path):
     # filtering ran: dataset is the routed subset, not the raw record list
     assert 1 <= len(ft.dataset) <= 16
     assert type(ft.dataset).__name__ == "_Filtered"
+
+
+def test_sdxl_dual_tower_real_data(assets, tmp_path):
+    """SDXL pruning on a real dataset with in-framework dual CLIP towers:
+    prompt_embeds = concat of both penultimate hidden states, text_embeds =
+    encoder-2's projected pooled output (reference SDXLPruner init_models,
+    trainer.py:1479-1593 + diffusers encode_prompt semantics)."""
+    from tiny_assets import make_tiny_sdxl_root
+
+    from unlearn_ft_tpu.training.sdxl_pruner import SDXLPruningTrainer
+
+    tmp = str(tmp_path)
+    sdxl_root = os.path.join(tmp, "sdxl")
+    te_cfg, te2_cfg = make_tiny_sdxl_root(sdxl_root)
+
+    cfg = _real_config(assets, tmp)
+    cfg.pretrained_model_name_or_path = sdxl_root
+    xdim = te_cfg["hidden_size"] + te2_cfg["hidden_size"]
+    cfg.model.text_encoder_config = te_cfg
+    cfg.model.text_encoder_2_config = te2_cfg
+    cfg.model.prediction_model.unet_down_blocks = [
+        "DownBlock2DHalfGated", "CrossAttnDownBlock2DHalfGated",
+    ]
+    cfg.model.prediction_model.unet_up_blocks = [
+        "CrossAttnUpBlock2DHalfGated", "UpBlock2DHalfGated",
+    ]
+    cfg.model.prediction_model.unet_config.merge({
+        "cross_attention_dim": xdim,
+        "transformer_layers_per_block": [1, 2],
+        "addition_embed_type": "text_time",
+        "addition_time_embed_dim": 8,
+        "projection_class_embeddings_input_dim": 8 * 6 + te2_cfg["projection_dim"],
+    })
+    t = SDXLPruningTrainer(cfg)
+    assert t.text_params_2 is not None
+
+    batch = next(iter(t.train_loader))
+    assert batch["prompt_embeds"].shape[-1] == xdim
+    assert batch["text_embeds"].shape == (2, te2_cfg["projection_dim"])
+    assert batch["time_ids"].shape == (2, 6)
+
+    # pooled output parity vs HF torch for the first caption
+    from safetensors.torch import load_file
+    from transformers import CLIPTextConfig as HFConfig
+    from transformers import CLIPTextModelWithProjection, CLIPTokenizer
+
+    hf2 = CLIPTextModelWithProjection(HFConfig(
+        **{**te2_cfg, "bos_token_id": 0}
+    )).eval()
+    hf2.load_state_dict(load_file(
+        os.path.join(sdxl_root, "text_encoder_2", "model.safetensors")
+    ))
+    tok = CLIPTokenizer.from_pretrained(os.path.join(sdxl_root, "tokenizer_2"))
+    caption = t.dataset.records[0].caption
+    ids = tok([caption], padding="max_length", truncation=True,
+              max_length=tok.model_max_length, return_tensors="pt").input_ids
+    with torch.no_grad():
+        want = hf2(ids).text_embeds.numpy()
+    pe, pooled = t._encode_sdxl_prompts([caption])
+    np.testing.assert_allclose(pooled, want, atol=2e-4)
+
+    t.train()
+
+
+def test_flux_real_data_with_in_framework_towers(assets, tmp_path):
+    """Flux pruning on a real dataset: T5 prompt embeddings + CLIP pooled +
+    VAE-packed latents, all produced in-framework (reference FluxPruner
+    init_models/prompt encoding, trainer.py:1604-1740)."""
+    from tiny_assets import TINY_MPNET, make_tiny_flux_root
+
+    from unlearn_ft_tpu.training.flux_pruner import FluxPruningTrainer
+    from unlearn_ft_tpu.utils.config import Config
+
+    tmp = str(tmp_path)
+    flux_root = os.path.join(tmp, "flux")
+    te_cfg, t5_cfg = make_tiny_flux_root(flux_root)
+
+    cfg = Config.wrap({
+        "seed": 43, "wandb_run_name": "t",
+        "pretrained_model_name_or_path": flux_root,
+        "mpnet_model": assets["mpnet"],
+        "cache_dir": os.path.join(tmp, "cache"),
+        "num_devices": 2,
+        "model": {
+            "prediction_model": {
+                "prediction_type": "epsilon",
+                "resolution": 16,
+                "flux_config": {
+                    "in_channels": 8,  # = 4 * vae latent_channels
+                    "num_layers": 2, "num_single_layers": 2,
+                    "attention_head_dim": 8, "num_attention_heads": 2,
+                    "joint_attention_dim": t5_cfg["d_model"],
+                    "pooled_projection_dim": te_cfg["hidden_size"],
+                    "guidance_embeds": True, "axes_dims_rope": [2, 4, 2],
+                    "ff_gate_width": 4,
+                },
+                "guidance_scale": 3.5, "flow_shift": 3.0,
+            },
+            "text_encoder_config": te_cfg,
+            "text_encoder_2_config": t5_cfg,
+            "vae_config": {
+                "latent_channels": 2, "block_out_channels": [8, 16],
+                "layers_per_block": 1, "norm_num_groups": 4,
+                "scaling_factor": 0.3611, "shift_factor": 0.1159,
+            },
+            "mpnet_config": dict(TINY_MPNET),
+            "hypernet": {"input_dim": TINY_MPNET["hidden_size"]},
+            "quantizer": {"num_arch_vq_codebook_embeddings": 4},
+        },
+        "data": {
+            "data_dir": assets["coco"],
+            "max_train_samples": 8,
+            "flux_image_tokens": 16,  # res 16 / vae x2 = 8x8 latent -> 4x4 packed
+            "flux_text_tokens": 5,
+            "dataloader": {"train_batch_size": 2},
+        },
+        "training": {
+            "max_train_steps": 2, "log_steps": 1, "checkpoint_steps": 0,
+            "validation_steps": 0,
+            "losses": {
+                "diffusion_loss": {"snr_gamma": None, "weight": 1.0},
+                "contrastive_loss": {"weight": 1.0},
+                "resource_loss": {"weight": 1.0, "pruning_target": 0.7},
+            },
+            "optim": {"hypernet_learning_rate": 1e-3, "lr_warmup_steps": 0},
+            "logging": {"logging_dir": tmp, "report_to": "jsonl"},
+        },
+    })
+    t = FluxPruningTrainer(cfg)
+    assert t.t5_params is not None and t.text_params is not None
+
+    batch = next(iter(t.train_loader))
+    assert batch["latents"].shape == (2, 16, 8)
+    assert batch["prompt_embeds"].shape == (2, 5, t5_cfg["d_model"])
+    assert batch["pooled_prompt_embeds"].shape == (2, te_cfg["hidden_size"])
+    assert batch["mpnet_embeddings"].shape == (2, TINY_MPNET["hidden_size"])
+
+    # T5 embedding parity vs HF torch for the first caption
+    from safetensors.torch import load_file
+    from transformers import T5Config as HFT5Config
+    from transformers import T5EncoderModel as HFT5Model
+
+    hf = HFT5Model(HFT5Config(
+        **t5_cfg, feed_forward_proj="gated-gelu", dropout_rate=0.0, use_cache=False,
+    )).eval()
+    hf.load_state_dict(load_file(
+        os.path.join(flux_root, "text_encoder_2", "model.safetensors")
+    ), strict=False)  # embed_tokens ties to shared
+    from transformers import AutoTokenizer
+
+    tok2 = AutoTokenizer.from_pretrained(os.path.join(flux_root, "tokenizer_2"))
+    caption = t.dataset.records[0].caption
+    enc = tok2([caption], padding="max_length", truncation=True, max_length=5,
+               return_tensors="pt")
+    with torch.no_grad():
+        want = hf(input_ids=enc.input_ids,
+                  attention_mask=enc.attention_mask).last_hidden_state.numpy()
+    pe, _ = t._encode_flux_prompts([caption])
+    m = enc.attention_mask.numpy().astype(bool)
+    np.testing.assert_allclose(pe[0][m[0]], want[0][m[0]], atol=2e-4)
+
+    t.train()

@@ -54,6 +54,31 @@ def test_bilevel_trainer_upper_steps_fire():
         assert all(np.isfinite(r["upper_loss"]) for r in upper_rows)
 
 
+def test_dreambooth_bilevel_prior_preservation():
+    """DreamBooth upper steps carry both the instance and the weighted prior
+    term (reference trainer.py:3382-3389); prior_loss must be nonzero and the
+    batch must be [instance | prior] halves."""
+    from unlearn_ft_tpu.training.bilevel import DreamBoothBilevelFineTuneTrainer
+
+    with tempfile.TemporaryDirectory() as tmp:
+        cfg = _config(tmp)
+        cfg.training.max_train_steps = 4
+        cfg.merge({"training": {"dreambooth": {
+            "with_prior_preservation": True, "prior_loss_weight": 0.7,
+        }}})
+        t = DreamBoothBilevelFineTuneTrainer(cfg)
+        t.train()
+        rows = _read_metrics(tmp)
+        upper_rows = [r for r in rows if "prior_loss" in r]
+        assert len(upper_rows) == 2
+        for r in upper_rows:
+            assert np.isfinite(r["prior_loss"]) and r["prior_loss"] > 0
+            assert np.isfinite(r["instance_loss"])
+            np.testing.assert_allclose(
+                r["upper_loss"], r["instance_loss"] + 0.7 * r["prior_loss"], rtol=1e-5
+            )
+
+
 def test_checkpoint_save_and_resume():
     from unlearn_ft_tpu.training.finetune import FineTuneTrainer
 

@@ -116,3 +116,78 @@ def make_tiny_mpnet_dir(root: str) -> dict:
     save_file({k: v.contiguous() for k, v in hf.state_dict().items()},
               os.path.join(root, "model.safetensors"))
     return dict(TINY_MPNET)
+
+
+TINY_CLIP2 = dict(
+    vocab_size=64, hidden_size=16, num_hidden_layers=2, num_attention_heads=2,
+    intermediate_size=32, max_position_embeddings=16, hidden_act="gelu",
+    eos_token_id=1, bos_token_id=0, projection_dim=16,
+)
+TINY_T5 = dict(
+    vocab_size=64, d_model=16, d_kv=4, num_heads=2, d_ff=32, num_layers=2,
+    relative_attention_num_buckets=8, relative_attention_max_distance=16,
+)
+TINY_FLUX_CLIP = dict(
+    vocab_size=64, hidden_size=12, num_hidden_layers=2, num_attention_heads=2,
+    intermediate_size=24, max_position_embeddings=16, hidden_act="gelu",
+    eos_token_id=1, bos_token_id=0,
+)
+
+
+def make_tiny_sdxl_root(root: str) -> tuple:
+    """SDXL-layout model root: tokenizer[_2]/ + text_encoder/ (ViT-L stand-in)
+    + text_encoder_2/ (WithProjection stand-in). Returns (te_cfg, te2_cfg)."""
+    import torch
+    from safetensors.torch import save_file
+    from transformers import CLIPTextConfig as HFConfig
+    from transformers import CLIPTextModelWithProjection
+
+    te_cfg = make_tiny_sd_root(root)
+    _write_clip_tokenizer(os.path.join(root, "tokenizer_2"), TINY_CLIP2["vocab_size"])
+    torch.manual_seed(5)
+    hf2 = CLIPTextModelWithProjection(HFConfig(**TINY_CLIP2)).eval()
+    te2_dir = os.path.join(root, "text_encoder_2")
+    os.makedirs(te2_dir, exist_ok=True)
+    save_file({k: v.contiguous() for k, v in hf2.state_dict().items()},
+              os.path.join(te2_dir, "model.safetensors"))
+    te2_cfg = {k: v for k, v in TINY_CLIP2.items() if k != "bos_token_id"}
+    return te_cfg, te2_cfg
+
+
+def make_tiny_flux_root(root: str) -> tuple:
+    """Flux-layout model root: tokenizer/ (CLIP) + text_encoder/ (CLIP pooled)
+    + tokenizer_2/ + text_encoder_2/ (tiny T5). The VAE stays an explicit
+    tiny config (random init) — no diffusers in this image to fabricate one.
+    Returns (te_cfg, t5_cfg)."""
+    import torch
+    from safetensors.torch import save_file
+    from transformers import CLIPTextConfig as HFCLIPConfig
+    from transformers import CLIPTextModel as HFCLIPModel
+    from transformers import T5Config as HFT5Config
+    from transformers import T5EncoderModel as HFT5Model
+
+    _write_clip_tokenizer(os.path.join(root, "tokenizer"), TINY_FLUX_CLIP["vocab_size"])
+    # tokenizer_2 is whatever AutoTokenizer can load; a CLIP tokenizer with
+    # ids < the T5 vocab keeps the test fully offline
+    _write_clip_tokenizer(os.path.join(root, "tokenizer_2"), TINY_T5["vocab_size"])
+
+    torch.manual_seed(6)
+    hf1 = HFCLIPModel(HFCLIPConfig(**TINY_FLUX_CLIP)).eval()
+    te_dir = os.path.join(root, "text_encoder")
+    os.makedirs(te_dir, exist_ok=True)
+    save_file({k: v.contiguous() for k, v in hf1.state_dict().items()},
+              os.path.join(te_dir, "model.safetensors"))
+
+    torch.manual_seed(7)
+    hf2 = HFT5Model(HFT5Config(
+        **TINY_T5, feed_forward_proj="gated-gelu", dropout_rate=0.0, use_cache=False,
+    )).eval()
+    t5_dir = os.path.join(root, "text_encoder_2")
+    os.makedirs(t5_dir, exist_ok=True)
+    # shared.weight aliases encoder.embed_tokens.weight; keep one copy
+    save_file({k: v.contiguous().clone() for k, v in hf2.state_dict().items()
+               if k != "encoder.embed_tokens.weight"},
+              os.path.join(t5_dir, "model.safetensors"))
+
+    te_cfg = {k: v for k, v in TINY_FLUX_CLIP.items() if k != "bos_token_id"}
+    return te_cfg, dict(TINY_T5)

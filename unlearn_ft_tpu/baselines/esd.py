@@ -93,16 +93,23 @@ def make_esd_step(
             uncond = model(p, x, t, neutral_embeds)
             return uncond + start_guidance * (cond - uncond)
 
-        # partial rollout with the current student (no grad through it)
-        def body(i, x):
-            do = i < t_enc_idx
+        # partial rollout with the current student (no grad through it).
+        # while_loop gives a true data-dependent trip count — the reference
+        # runs exactly t_enc steps (esd_diffusers.py:85-95); a masked full
+        # fori_loop would cost the whole 50-step rollout every training step
+        def cond(carry):
+            i, _ = carry
+            return i < t_enc_idx
+
+        def body(carry):
+            i, x = carry
             t = ts[i]
             prev_t = ts[jnp.minimum(i + 1, ddim_steps - 1)]
             pred = cfg_pred(params, x, t)
-            nxt = ddim_step(sched, pred, t, prev_t, x)
-            return jnp.where(do, nxt, x)
+            return i + 1, ddim_step(sched, pred, t, prev_t, x)
 
-        z_t = jax.lax.stop_gradient(jax.lax.fori_loop(0, ddim_steps, body, z))
+        _, z_t = jax.lax.while_loop(cond, body, (jnp.asarray(0, jnp.int32), z))
+        z_t = jax.lax.stop_gradient(z_t)
         t_enc = ts[t_enc_idx]
 
         e0_pos = jax.lax.stop_gradient(model(frozen_params, z_t, t_enc, concept_embeds))

@@ -1,13 +1,15 @@
-"""Simple prefetching data loader producing numpy NHWC batches.
+"""Prefetching data loader producing numpy NHWC batches.
 
 Replaces torch DataLoader + accelerate's DistributedSampler: each host
 iterates its own shard of the record list (jax.process_index-based split for
 multi-host); device sharding happens later via parallel.shard_batch.
+``num_workers`` collate threads run batches concurrently (PIL decode and
+numpy release the GIL) with order preserved — the reference leaves
+preprocessing in the training process (dataloader_num_workers: 0 in every
+shipped config) and eats the stall.
 """
 from __future__ import annotations
 
-import queue
-import threading
 from typing import Callable, Iterator, Optional, Sequence
 
 import numpy as np
@@ -25,6 +27,7 @@ class DataLoader:
         prefetch: int = 2,
         num_shards: int = 1,
         shard_index: int = 0,
+        num_workers: int = 1,
     ):
         self.records = records
         self.batch_size = batch_size
@@ -35,6 +38,7 @@ class DataLoader:
         self.prefetch = prefetch
         self.num_shards = num_shards
         self.shard_index = shard_index
+        self.num_workers = max(1, int(num_workers))
         self._epoch = 0
 
     def __len__(self):
@@ -49,30 +53,37 @@ class DataLoader:
         return idx[self.shard_index :: self.num_shards]
 
     def __iter__(self) -> Iterator[dict]:
-        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
-        stop = object()
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
 
-        def worker():
-            idx = self._epoch_indices()
-            nb = len(idx) // self.batch_size if self.drop_last else -(-len(idx) // self.batch_size)
-            for b in range(nb):
-                sel = idx[b * self.batch_size : (b + 1) * self.batch_size]
-                try:
-                    q.put(self.collate([self.records[int(i)] for i in sel]))
-                except Exception as e:  # surface worker errors to the consumer
-                    q.put(e)
+        idx = self._epoch_indices()
+        nb = len(idx) // self.batch_size if self.drop_last else -(-len(idx) // self.batch_size)
+        sels = (
+            idx[b * self.batch_size : (b + 1) * self.batch_size] for b in range(nb)
+        )
+        inflight = self.num_workers + self.prefetch
+        ex = ThreadPoolExecutor(self.num_workers)
+        futures: "deque" = deque()
+
+        def submit(sel):
+            futures.append(
+                ex.submit(self.collate, [self.records[int(i)] for i in sel])
+            )
+
+        try:
+            it = iter(sels)
+            for _ in range(inflight):
+                sel = next(it, None)
+                if sel is None:
                     break
-            q.put(stop)
-
-        t = threading.Thread(target=worker, daemon=True)
-        t.start()
-        while True:
-            item = q.get()
-            if item is stop:
-                break
-            if isinstance(item, Exception):
-                raise item
-            yield item
+                submit(sel)
+            while futures:
+                yield futures.popleft().result()  # re-raises collate errors
+                sel = next(it, None)
+                if sel is not None:
+                    submit(sel)
+        finally:
+            ex.shutdown(wait=False, cancel_futures=True)
         self._epoch += 1
 
     def infinite(self) -> Iterator[dict]:

@@ -30,8 +30,20 @@ def image_transform(
 ):
     """PIL image -> float32 NHWC in [-1, 1] (torchvision-equivalent chain:
     resize shorter side, crop, optional flip, normalize —
-    data_utils.py:71-97)."""
-    rng = rng or np.random.default_rng(0)
+    data_utils.py:71-97). Without an explicit rng, each loader worker thread
+    gets its own Generator (numpy Generators are not thread-safe)."""
+    import threading
+
+    tls = threading.local()
+
+    def _rng():
+        if rng is not None:
+            return rng
+        r = getattr(tls, "rng", None)
+        if r is None:
+            r = np.random.default_rng(abs(hash((0, threading.get_ident()))) % (2**32))
+            tls.rng = r
+        return r
 
     def transform(img):
         from PIL import Image
@@ -43,11 +55,12 @@ def image_transform(
         if center_crop:
             left, top = (w - resolution) // 2, (h - resolution) // 2
         else:
-            left = rng.integers(0, w - resolution + 1)
-            top = rng.integers(0, h - resolution + 1)
+            r = _rng()
+            left = r.integers(0, w - resolution + 1)
+            top = r.integers(0, h - resolution + 1)
         img = img.crop((left, top, left + resolution, top + resolution))
         arr = np.asarray(img.convert("RGB"), dtype=np.float32) / 127.5 - 1.0
-        if random_flip and rng.random() < 0.5:
+        if random_flip and _rng().random() < 0.5:
             arr = arr[:, ::-1]
         return arr
 

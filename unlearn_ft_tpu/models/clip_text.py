@@ -26,6 +26,25 @@ class CLIPTextConfig:
     hidden_act: str = "gelu"  # SD-2.1; SD-1.x/CLIP ViT-L uses quick_gelu
     layer_norm_eps: float = 1e-5
     eos_token_id: int = 49407
+    # SDXL text_encoder_2 (CLIPTextModelWithProjection): pooled output runs
+    # through a bias-free text_projection
+    projection_dim: int = 0
+
+
+def sdxl_text_encoder_config() -> CLIPTextConfig:
+    """SDXL text_encoder (CLIP ViT-L/14)."""
+    return CLIPTextConfig(
+        hidden_size=768, num_hidden_layers=12, num_attention_heads=12,
+        intermediate_size=3072, hidden_act="quick_gelu",
+    )
+
+
+def sdxl_text_encoder_2_config() -> CLIPTextConfig:
+    """SDXL text_encoder_2 (OpenCLIP ViT-bigG/14 text tower)."""
+    return CLIPTextConfig(
+        hidden_size=1280, num_hidden_layers=32, num_attention_heads=20,
+        intermediate_size=5120, hidden_act="gelu", projection_dim=1280,
+    )
 
 
 def _act(name: str):
@@ -77,7 +96,14 @@ class CLIPTextModel(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, input_ids: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    def __call__(
+        self, input_ids: jnp.ndarray, penultimate: bool = False
+    ) -> Tuple[jnp.ndarray, ...]:
+        """Returns (last_hidden_state, pooled) — pooled runs through
+        text_projection when ``projection_dim`` is set — plus, when
+        ``penultimate``, the hidden state after layer N-1 without the final
+        layer norm (what SDXL conditions on: hidden_states[-2],
+        diffusers StableDiffusionXLPipeline.encode_prompt)."""
         c = self.cfg
         b, l = input_ids.shape
         tok = nn.Embed(c.vocab_size, c.hidden_size, dtype=self.dtype, name="token_embedding")(
@@ -91,11 +117,20 @@ class CLIPTextModel(nn.Module):
         x = tok + pos[None, :l, :].astype(tok.dtype)
 
         causal = jnp.triu(jnp.full((l, l), jnp.finfo(jnp.float32).min), k=1)[None, None]
+        penult = None
         for i in range(c.num_hidden_layers):
+            if i == c.num_hidden_layers - 1:
+                penult = x
             x = CLIPEncoderLayer(c, self.dtype, name=f"layers_{i}")(x, causal)
         x = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype, name="final_layer_norm")(x)
 
         # pooled = hidden state at the EOS token (highest id per row for CLIP)
         eos_idx = jnp.argmax((input_ids == c.eos_token_id).astype(jnp.int32), axis=-1)
         pooled = x[jnp.arange(b), eos_idx]
+        if c.projection_dim:
+            pooled = nn.Dense(
+                c.projection_dim, use_bias=False, dtype=self.dtype, name="text_projection"
+            )(pooled)
+        if penultimate:
+            return x, pooled, penult
         return x, pooled

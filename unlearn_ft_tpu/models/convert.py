@@ -71,6 +71,41 @@ def convert_clip_text(sd: Dict, num_layers: int = 23) -> Dict:
             "mlp_fc1": _linear(sd, f"{p}.mlp.fc1"),
             "mlp_fc2": _linear(sd, f"{p}.mlp.fc2"),
         }
+    if "text_projection.weight" in sd:  # CLIPTextModelWithProjection (SDXL enc 2)
+        params["text_projection"] = {"kernel": _np(sd["text_projection.weight"]).T}
+    return params
+
+
+# ---------------------------------------------------------------------------
+# T5 encoder (Flux text tower)
+# ---------------------------------------------------------------------------
+
+def convert_t5_encoder(sd: Dict, num_layers: int) -> Dict:
+    """HF T5EncoderModel state dict -> models/t5.py tree (no biases; RMSNorm
+    has weight only)."""
+    sd = {k.removeprefix("encoder."): v for k, v in sd.items()}
+    params = {
+        "token_embedding": {"embedding": _np(sd.get("shared.weight", sd.get("embed_tokens.weight")))},
+        "relative_attention_bias": _embed(
+            sd, "block.0.layer.0.SelfAttention.relative_attention_bias"
+        ),
+        "final_layer_norm": {"weight": _np(sd["final_layer_norm.weight"])},
+    }
+    for i in range(num_layers):
+        p = f"block.{i}.layer"
+        params[f"block_{i}"] = {
+            "attn": {
+                "q": _linear(sd, f"{p}.0.SelfAttention.q"),
+                "k": _linear(sd, f"{p}.0.SelfAttention.k"),
+                "v": _linear(sd, f"{p}.0.SelfAttention.v"),
+                "o": _linear(sd, f"{p}.0.SelfAttention.o"),
+            },
+            "attn_norm": {"weight": _np(sd[f"{p}.0.layer_norm.weight"])},
+            "wi_0": _linear(sd, f"{p}.1.DenseReluDense.wi_0"),
+            "wi_1": _linear(sd, f"{p}.1.DenseReluDense.wi_1"),
+            "wo": _linear(sd, f"{p}.1.DenseReluDense.wo"),
+            "ff_norm": {"weight": _np(sd[f"{p}.1.layer_norm.weight"])},
+        }
     return params
 
 
@@ -293,3 +328,25 @@ def load_torch_state_dict(path: str) -> Dict:
     import torch
 
     return torch.load(path, map_location="cpu", weights_only=True)
+
+
+def load_torch_state_dict_dir(path: str) -> Dict:
+    """Load a model dir's state dict: single-file or sharded-index layouts
+    (T5-XXL ships as model-0000x-of-0000y.safetensors + index json)."""
+    import json
+    import os
+
+    for idx_name in ("model.safetensors.index.json", "pytorch_model.bin.index.json"):
+        idx = os.path.join(path, idx_name)
+        if os.path.exists(idx):
+            with open(idx) as f:
+                index = json.load(f)
+            sd: Dict = {}
+            for shard in sorted(set(index["weight_map"].values())):
+                sd.update(load_torch_state_dict(os.path.join(path, shard)))
+            return sd
+    for name in ("model.safetensors", "pytorch_model.bin"):
+        p = os.path.join(path, name)
+        if os.path.exists(p):
+            return load_torch_state_dict(p)
+    raise FileNotFoundError(f"no model weights under {path}")

@@ -370,18 +370,20 @@ class GatedFluxTransformer2DModel(nn.Module):
 # ---------------------------------------------------------------------------
 
 def pack_latents(latents: jnp.ndarray) -> jnp.ndarray:
-    """[B, H, W, C] NHWC -> [B, H/2*W/2, C*4] (2x2 patchify)."""
+    """[B, H, W, C] NHWC -> [B, H/2*W/2, C*4] (2x2 patchify). The last dim is
+    channel-major (C, 2, 2) to match diffusers FluxPipeline._pack_latents, so
+    converted Flux transformer weights (x_embedder/proj_out) line up."""
     b, h, w, c = latents.shape
     x = latents.reshape(b, h // 2, 2, w // 2, 2, c)
-    x = x.transpose(0, 1, 3, 2, 4, 5)
+    x = x.transpose(0, 1, 3, 5, 2, 4)
     return x.reshape(b, (h // 2) * (w // 2), 4 * c)
 
 
 def unpack_latents(packed: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
     b, _, c4 = packed.shape
     c = c4 // 4
-    x = packed.reshape(b, h // 2, w // 2, 2, 2, c)
-    x = x.transpose(0, 1, 3, 2, 4, 5)
+    x = packed.reshape(b, h // 2, w // 2, c, 2, 2)
+    x = x.transpose(0, 1, 4, 2, 5, 3)
     return x.reshape(b, h, w, c)
 
 

@@ -26,6 +26,7 @@ class VAEConfig:
     layers_per_block: int = 2
     norm_num_groups: int = 32
     scaling_factor: float = 0.18215
+    shift_factor: float = 0.0  # Flux VAE: 0.1159 (z = (z - shift) * scale)
 
 
 class VAEResnet(nn.Module):
@@ -148,10 +149,11 @@ class AutoencoderKL(nn.Module):
         mean, logvar = self.encode_moments(x)
         std = jnp.exp(0.5 * logvar)
         z = mean + std * jax.random.normal(rng, mean.shape, mean.dtype)
-        return z * self.cfg.scaling_factor
+        return (z - self.cfg.shift_factor) * self.cfg.scaling_factor
 
     def decode(self, z):
-        return self.decoder(self.post_quant_conv(z / self.cfg.scaling_factor))
+        z = z / self.cfg.scaling_factor + self.cfg.shift_factor
+        return self.decoder(self.post_quant_conv(z))
 
     def __call__(self, x, rng):
         z = self.encode(x, rng)

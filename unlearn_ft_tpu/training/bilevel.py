@@ -8,6 +8,7 @@ param tree; the upper step fires every ``upper_step_freq`` lower steps
 """
 from __future__ import annotations
 
+import os
 from typing import Dict
 
 import jax
@@ -133,64 +134,139 @@ class NudityBilevelFineTuneTrainer(BilevelFineTuneTrainer):
         super().init_upper_dataset()
 
 
+class _ListDS:
+    def __init__(self, records):
+        self.records = records
+
+    def __len__(self):
+        return len(self.records)
+
+    def __getitem__(self, i):
+        return self.records[i]
+
+
 class DreamBoothBilevelFineTuneTrainer(BilevelFineTuneTrainer):
     """Upper loop = DreamBooth with prior preservation (reference
-    DreamBoothBilevelUnetFineTuner, trainer.py:3019-3398): the upper dataset
-    interleaves instance images (instance_prompt) and class images
-    (class_prompt, optionally pre-generated with the current pipeline); the
-    upper step is the plain DDPM objective on those pairs plus the prior
-    term, instead of the ESD target."""
+    DreamBoothBilevelUnetFineTuner, trainer.py:3019-3398): every upper batch
+    is [instance | prior] halves (the reference's DreamBoothDataset yields an
+    instance/class pair per index, trainer.py:3073-3170) and the upper step
+    adds ``prior_loss_weight * prior_loss`` (trainer.py:3382-3389). Class
+    images are pre-generated with the current pruned student when
+    ``class_data_dir`` holds fewer than ``num_class_images``
+    (trainer.py:3039-3071, PromptDataset generation)."""
 
     def init_upper_dataset(self):
         cfg = self.config
+        self.with_prior = bool(
+            cfg.get_path("training.dreambooth.with_prior_preservation", True)
+        )
         if isinstance(self.dataset, SyntheticDataset):
-            return super().init_upper_dataset()
+            # synthetic smoke path: pair random instance/class halves
+            super().init_upper_dataset()
+            if self.with_prior:
+                base = self.upper_loader.collate
+
+                def paired(indices):
+                    return base(list(indices) + list(indices))
+
+                self.upper_loader.collate = paired
+            return
         from ..data.datasets import Record
 
         inst_dir = cfg.get_path("data.instance_data_dir")
         class_dir = cfg.get_path("data.class_data_dir")
         instance_prompt = cfg.get_path("data.instance_prompt", "a photo of sks thing")
         class_prompt = cfg.get_path("data.class_prompt", "a photo of a thing")
-        import os
 
-        records = [
+        instance = [
             Record(os.path.join(inst_dir, f), instance_prompt)
             for f in sorted(os.listdir(inst_dir))
         ]
-        if class_dir and os.path.isdir(class_dir):
-            records += [
+        class_records = []
+        if self.with_prior:
+            if not class_dir:
+                raise ValueError(
+                    "dreambooth.with_prior_preservation requires data.class_data_dir"
+                )
+            self._ensure_class_images(class_dir, class_prompt)
+            class_records = [
                 Record(os.path.join(class_dir, f), class_prompt)
                 for f in sorted(os.listdir(class_dir))
             ]
+            if not class_records:
+                raise ValueError(f"no class images in {class_dir}")
 
-        class _ListDS:
-            def __init__(self, records):
-                self.records = records
-
-            def __len__(self):
-                return len(self.records)
-
-            def __getitem__(self, i):
-                return self.records[i]
-
+        records = instance + class_records
         self.upper_dataset = _ListDS(records)
         bs = int(cfg.get_path("data.dataloader.train_batch_size", 8))
+        base = self._make_collate(self.upper_dataset)
+        n_inst, n_class = len(instance), len(class_records)
+
+        if self.with_prior:
+            rng = np.random.default_rng(self.seed + 13)
+
+            def collate(indices):
+                # [instance | prior] halves of equal size (chunk(2) contract)
+                ci = [n_inst + int(rng.integers(n_class)) for _ in indices]
+                return base(list(indices) + ci)
+        else:
+            collate = base
+
         self.upper_loader = DataLoader(
-            list(range(len(records))), bs, self._make_collate(self.upper_dataset),
-            seed=self.seed + 7,
+            list(range(n_inst)), bs, collate, seed=self.seed + 7,
         )
+
+    def _ensure_class_images(self, class_dir: str, class_prompt: str):
+        """Generate missing class images with the current student pipeline
+        (reference pre-generation loop, trainer.py:3039-3071)."""
+        cfg = self.config
+        os.makedirs(class_dir, exist_ok=True)
+        want = int(cfg.get_path("training.dreambooth.num_class_images", 100))
+        have = len(os.listdir(class_dir))
+        if have >= want or self.text_params is None:
+            return
+        from ..pipelines import SDPipeline
+
+        pipe = SDPipeline(
+            self.student, jax.device_get(self.params), self.vae, self.vae_params,
+            self.sched, scheduler_type="ddim", text_encoder=self.text_encoder,
+            text_params=self.text_params,
+        )
+        from transformers import CLIPTokenizer
+
+        root = str(cfg.get("pretrained_model_name_or_path", ""))
+        pipe.tokenizer = CLIPTokenizer.from_pretrained(os.path.join(root, "tokenizer"))
+        bs = int(cfg.get_path("training.dreambooth.sample_batch_size", 4))
+        res = int(cfg.get_path("model.prediction_model.resolution", 512))
+        steps = int(cfg.get_path("training.num_inference_steps", 25))
+        pe = pipe.encode_prompts([class_prompt] * bs)
+        empty = pipe.encode_prompts([""] * bs)
+        from PIL import Image
+
+        logger.info("generating %d class images into %s", want - have, class_dir)
+        idx = have
+        while idx < want:
+            imgs = pipe.generate_samples(pe, empty, steps, 7.5, res, res,
+                                         seed=self.seed + 1000 + idx)
+            for img in imgs[: want - idx]:
+                Image.fromarray((np.asarray(img) * 255).astype(np.uint8)).save(
+                    os.path.join(class_dir, f"class-{idx:05d}.png")
+                )
+                idx += 1
 
     def make_steps(self):
-        # upper step = DDPM loss on the DreamBooth pairs (no ESD target)
-        from .steps import make_finetune_step
-        from dataclasses import replace
+        # upper step = DDPM loss on the DreamBooth pairs + prior term
+        from .steps import make_dreambooth_upper_step
 
         FineTuneTrainer.make_steps(self)
-        db_loss_cfg = replace(self.loss_cfg, distillation_weight=0.0, block_weight=0.0)
-        self._db_step = make_finetune_step(
-            self.student, self.teacher, self.vae, self.sched, db_loss_cfg,
-            self.upper_tx if hasattr(self, "upper_tx") else self.tx,
-        )
+        if hasattr(self, "upper_tx"):
+            self._db_step = make_dreambooth_upper_step(
+                self.student, self.vae, self.sched, self.loss_cfg, self.upper_tx,
+                prior_loss_weight=float(
+                    self.config.get_path("training.dreambooth.prior_loss_weight", 1.0)
+                ),
+                with_prior_preservation=getattr(self, "with_prior", True),
+            )
 
     def init_optimizers(self):
         super().init_optimizers()
@@ -205,6 +281,7 @@ class DreamBoothBilevelFineTuneTrainer(BilevelFineTuneTrainer):
             self.params, self.upper_opt_state, um = self._db_step(
                 self.params, self.upper_opt_state, self.frozen, upper_batch, upper_rng
             )
-            metrics = {**metrics, "upper_loss": um["loss"],
-                       "upper_diff_loss": um["diff_loss"]}
+            metrics = {**metrics, "upper_loss": um["upper_loss"],
+                       "instance_loss": um["instance_loss"],
+                       "prior_loss": um["prior_loss"]}
         return metrics

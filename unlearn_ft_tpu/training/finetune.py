@@ -139,9 +139,16 @@ class FineTuneTrainer(BaseTrainer):
         bs = int(cfg.get_path("data.dataloader.train_batch_size", 8))
         # per-host shard of the records (replaces DistributedSampler /
         # dist_utils.nodesplitter; device-level sharding happens in shard_batch)
+        # decode-heavy collates (PIL on the pixel path) overlap across threads;
+        # reference leaves this at 0 workers in-process (SURVEY §3.5). The
+        # synthetic collate shares one numpy Generator -> keep it single-thread.
+        workers = int(cfg.get_path("data.dataloader.dataloader_num_workers", 0) or 4)
+        if isinstance(ds, SyntheticDataset):
+            workers = 1
         self.train_loader = DataLoader(
             list(range(len(ds))), bs, self._make_collate(ds, train=True), seed=self.seed,
             num_shards=jax.process_count(), shard_index=jax.process_index(),
+            num_workers=workers,
         )
         # held-out validation split (reference keeps dataset["validation"] and
         # truncates to max_validation_samples, trainer.py:89-93, 252-258)

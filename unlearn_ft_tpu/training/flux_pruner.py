@@ -2,12 +2,17 @@
 flow-matching loss + contrastive + resource over the gated Flux MMDiT, with
 hypernet/quantizer as the only trainables.
 
-Text conditioning (T5 + CLIP-pooled) is precomputed host-side into the batch
-('prompt_embeds', 'pooled_prompt_embeds'), as are packed latents when a real
-Flux VAE is supplied; synthetic mode generates matching random tensors.
+Text conditioning (T5 prompt embeddings + CLIP pooled) is precomputed
+host-side into the batch ('prompt_embeds', 'pooled_prompt_embeds') by the
+in-framework towers (models/t5.py, models/clip_text.py; reference
+FluxPruner.init_models loads T5EncoderModel + CLIPTextModel,
+trainer.py:1604-1740) when the model root provides text_encoder/
+text_encoder_2 dirs; packed latents come from the 16-channel Flux VAE when
+``vae/`` is present. Synthetic mode generates matching random tensors.
 """
 from __future__ import annotations
 
+import os
 from dataclasses import replace
 from typing import Dict
 
@@ -15,9 +20,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..data import DataLoader
+from ..data import DataLoader, get_dataset
 from ..data.datasets import SyntheticDataset
-from ..models.flux import FluxConfig, GatedFluxTransformer2DModel, flux_gate_layout, make_image_ids
+from ..models.flux import (
+    FluxConfig,
+    GatedFluxTransformer2DModel,
+    flux_gate_layout,
+    make_image_ids,
+    pack_latents,
+)
 from ..models.hypernet import HyperStructure
 from ..models.quantizer import QuantizerConfig
 from ..parallel import replicate
@@ -92,33 +103,215 @@ class FluxPruningTrainer(PruningTrainer):
         self.trainable = replicate({"hypernet": hparams, "quantizer": qparams}, self.mesh)
         self.qstate = replicate(qstate, self.mesh)
         self.frozen = replicate({"flux": jax.tree.map(jnp.asarray, flux_params)}, self.mesh)
+        self._init_flux_towers()
+
+    def _init_flux_towers(self):
+        """CLIP (pooled) + T5 (sequence) text towers and the 16-channel Flux
+        VAE from the model root, when present (reference trainer.py:1604-1740).
+        Tests may instead pin tiny configs via model.text_encoder_config /
+        text_encoder_2_config / vae_config."""
+        cfg = self.config
+        root = str(cfg.get("pretrained_model_name_or_path", ""))
+        from ..models.clip_text import CLIPTextConfig, CLIPTextModel
+        from ..models.t5 import T5Config, T5EncoderModel
+        from ..models.vae import AutoencoderKL, VAEConfig
+
+        self.text_encoder = self.text_params = None
+        self.t5 = self.t5_params = None
+        self.vae = self.vae_params = None
+
+        te_dir = os.path.join(root, "text_encoder")
+        te_cfg = cfg.model.get("text_encoder_config")
+        if te_cfg or os.path.isdir(te_dir):
+            # Flux conditions pooled on CLIP ViT-L's EOS hidden state
+            clip_cfg = CLIPTextConfig(**(te_cfg or dict(
+                hidden_size=768, num_hidden_layers=12, num_attention_heads=12,
+                intermediate_size=3072, hidden_act="quick_gelu",
+            )))
+            self.text_encoder = CLIPTextModel(clip_cfg, dtype=self.dtype)
+            if os.path.isdir(te_dir):
+                from ..models.convert import convert_clip_text, load_torch_state_dict_dir
+
+                self.text_params = convert_clip_text(
+                    load_torch_state_dict_dir(te_dir), clip_cfg.num_hidden_layers
+                )
+            else:  # explicit tiny config, no weights: random init (tests)
+                self.text_params = self.text_encoder.init(
+                    jax.random.PRNGKey(1), jnp.zeros((1, 4), jnp.int32)
+                )["params"]
+
+        t5_dir = os.path.join(root, "text_encoder_2")
+        t5_cfg_dict = cfg.model.get("text_encoder_2_config")
+        if t5_cfg_dict or os.path.isdir(t5_dir):
+            t5_cfg = T5Config(**(t5_cfg_dict or {}))
+            self.t5 = T5EncoderModel(t5_cfg, dtype=self.dtype)
+            if os.path.isdir(t5_dir):
+                from ..models.convert import convert_t5_encoder, load_torch_state_dict_dir
+
+                self.t5_params = convert_t5_encoder(
+                    load_torch_state_dict_dir(t5_dir), t5_cfg.num_layers
+                )
+            else:
+                self.t5_params = self.t5.init(
+                    jax.random.PRNGKey(2), jnp.zeros((1, 4), jnp.int32)
+                )["params"]
+
+        vae_dir = os.path.join(root, "vae")
+        vae_cfg_dict = cfg.model.get("vae_config")
+        if vae_cfg_dict or os.path.isdir(vae_dir):
+            vae_cfg = VAEConfig(**{
+                k: tuple(v) if isinstance(v, list) else v
+                for k, v in (vae_cfg_dict or dict(
+                    latent_channels=16, scaling_factor=0.3611, shift_factor=0.1159,
+                )).items()
+            })
+            self.vae = AutoencoderKL(vae_cfg, dtype=self.dtype)
+            if os.path.isdir(vae_dir):
+                from ..models.convert import convert_vae, load_torch_state_dict
+
+                for name in ("diffusion_pytorch_model.safetensors",
+                             "diffusion_pytorch_model.bin"):
+                    p = os.path.join(vae_dir, name)
+                    if os.path.exists(p):
+                        self.vae_params = convert_vae(
+                            load_torch_state_dict(p), vae_cfg.block_out_channels,
+                            vae_cfg.layers_per_block,
+                        )
+                        break
+            else:
+                res = 2 ** (len(vae_cfg.block_out_channels) - 1) * 2
+                key = jax.random.PRNGKey(3)
+                self.vae_params = self.vae.init(
+                    key, jnp.zeros((1, res * 4, res * 4, 3)), key
+                )["params"]
+
+        self._load_mpnet()
+
+    def _encode_flux_prompts(self, captions):
+        """T5 sequence embeddings + CLIP pooled (diffusers FluxPipeline
+        encode_prompt semantics the reference inherits; T5 capped at
+        max_sequence_length = l_txt, reference trainer.py:1708-1710)."""
+        from transformers import AutoTokenizer, CLIPTokenizer
+
+        root = str(self.config.get("pretrained_model_name_or_path", ""))
+        tok1 = CLIPTokenizer.from_pretrained(os.path.join(root, "tokenizer"))
+        tok2 = AutoTokenizer.from_pretrained(os.path.join(root, "tokenizer_2"))
+
+        enc1, t5 = self.text_encoder, self.t5
+
+        @jax.jit
+        def encode(ids1, ids2, mask2):
+            _, pooled = enc1.apply({"params": self.text_params}, ids1)
+            seq = t5.apply({"params": self.t5_params}, ids2, mask2)
+            return seq, pooled
+
+        out_pe, out_pool = [], []
+        bs = 64
+        for i in range(0, len(captions), bs):
+            chunk = list(captions[i : i + bs])
+            ids1 = tok1(chunk, padding="max_length", truncation=True,
+                        max_length=tok1.model_max_length, return_tensors="np").input_ids
+            t = tok2(chunk, padding="max_length", truncation=True,
+                     max_length=self.l_txt, return_tensors="np")
+            pe, pool = encode(
+                jnp.asarray(ids1), jnp.asarray(t.input_ids), jnp.asarray(t.attention_mask)
+            )
+            out_pe.append(np.asarray(pe, np.float32))
+            out_pool.append(np.asarray(pool, np.float32))
+        return np.concatenate(out_pe), np.concatenate(out_pool)
 
     def init_datasets(self):
         cfg = self.config
-        n = cfg.get_path("data.max_train_samples") or 64
-        ds = SyntheticDataset(n=n)
+        ds = get_dataset(cfg, "train")
         self.dataset = ds
         bs = int(cfg.get_path("data.dataloader.train_batch_size", 8))
         rng = np.random.default_rng(self.seed)
         fc, l_img, l_txt = self.flux_cfg, self.l_img, self.l_txt
         side = int(2 * np.sqrt(l_img))
 
+        if isinstance(ds, SyntheticDataset):
+            def collate(indices):
+                b = len(indices)
+                return {
+                    "latents": rng.standard_normal((b, l_img, fc.in_channels)).astype(np.float32),
+                    "prompt_embeds": rng.standard_normal(
+                        (b, l_txt, fc.joint_attention_dim)
+                    ).astype(np.float32),
+                    "pooled_prompt_embeds": rng.standard_normal(
+                        (b, fc.pooled_projection_dim)
+                    ).astype(np.float32),
+                    "img_ids": np.asarray(make_image_ids(side, side, b)),
+                    "txt_ids": np.zeros((b, l_txt, 3), np.float32),
+                    "mpnet_embeddings": rng.standard_normal((b, 768)).astype(np.float32),
+                }
+
+            self.train_loader = DataLoader(list(range(len(ds))), bs, collate, seed=self.seed)
+            return
+
+        # real dataset: in-framework towers must be loadable
+        if self.t5_params is None or self.text_params is None:
+            raise ValueError(
+                "Flux pruning on a real dataset needs text_encoder/ (CLIP) and "
+                "text_encoder_2/ (T5) under pretrained_model_name_or_path"
+            )
+        if self.vae_params is None:
+            raise ValueError("Flux pruning on a real dataset needs vae/ weights")
+        captions = [r.caption for r in ds.records]
+        pe, pooled = self._encode_flux_prompts(captions)
+        mpnet = self._encode_mpnet_prompts(captions)
+        # latent side -> pixel resolution via the VAE's downsample factor
+        res = side * 2 ** (len(self.vae.cfg.block_out_channels) - 1)
+        moments = self._precompute_latent_moments(ds, res)
+        lat_c = self.vae.cfg.latent_channels
+        shift, scale = self.vae.cfg.shift_factor, self.vae.cfg.scaling_factor
+
         def collate(indices):
             b = len(indices)
+            mom = np.stack([moments[i] for i in indices]).astype(np.float32)
+            mean, logvar = np.split(mom, 2, axis=-1)
+            z = mean + np.exp(0.5 * np.clip(logvar, -30, 20)) * rng.standard_normal(
+                mean.shape
+            ).astype(np.float32)
+            z = (z - shift) * scale
+            packed = pack_latents(z)
+            assert packed.shape[1:] == (l_img, lat_c * 4), packed.shape
             return {
-                "latents": rng.standard_normal((b, l_img, fc.in_channels)).astype(np.float32),
-                "prompt_embeds": rng.standard_normal(
-                    (b, l_txt, fc.joint_attention_dim)
-                ).astype(np.float32),
-                "pooled_prompt_embeds": rng.standard_normal(
-                    (b, fc.pooled_projection_dim)
-                ).astype(np.float32),
+                "latents": packed.astype(np.float32),
+                "prompt_embeds": pe[list(indices)],
+                "pooled_prompt_embeds": pooled[list(indices)],
                 "img_ids": np.asarray(make_image_ids(side, side, b)),
                 "txt_ids": np.zeros((b, l_txt, 3), np.float32),
-                "mpnet_embeddings": rng.standard_normal((b, 768)).astype(np.float32),
+                "mpnet_embeddings": mpnet[list(indices)],
             }
 
-        self.train_loader = DataLoader(list(range(len(ds))), bs, collate, seed=self.seed)
+        self.train_loader = DataLoader(
+            list(range(len(ds))), bs, collate, seed=self.seed,
+            num_shards=jax.process_count(), shard_index=jax.process_index(),
+        )
+
+    def _encode_mpnet_prompts(self, captions):
+        if self.mpnet_params is None:
+            raise ValueError("Flux pruning on a real dataset needs mpnet_model weights")
+        from transformers import AutoTokenizer
+
+        from ..models.mpnet import mean_pool
+
+        tok = AutoTokenizer.from_pretrained(str(self.config.get("mpnet_model")))
+
+        @jax.jit
+        def encode(ids, mask):
+            h = self.mpnet.apply({"params": self.mpnet_params}, ids, mask)
+            return mean_pool(h, mask)
+
+        out = []
+        for i in range(0, len(captions), 64):
+            t = tok(captions[i : i + 64], padding="max_length", truncation=True,
+                    max_length=tok.model_max_length, return_tensors="np")
+            out.append(np.asarray(
+                encode(jnp.asarray(t.input_ids), jnp.asarray(t.attention_mask)),
+                np.float32,
+            ))
+        return np.concatenate(out)
 
     def make_steps(self):
         g = self.config.get_path

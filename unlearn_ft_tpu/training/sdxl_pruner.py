@@ -1,10 +1,14 @@
 """SDXL APTP pruning trainer (reference SDXLPruner, trainer.py:1472-1593):
 same objective as PruningTrainer with dual CLIP text encoders — the batch
 carries the concatenated 2048-d hidden states plus pooled micro-conditioning
-('text_embeds', 'time_ids'), precomputed host-side.
+('text_embeds', 'time_ids'), precomputed host-side by the in-framework dual
+towers (text_encoder = CLIP ViT-L, text_encoder_2 = OpenCLIP bigG with
+text_projection) when the model root provides them.
 """
 from __future__ import annotations
 
+import os
+from dataclasses import asdict
 from functools import partial
 from typing import Dict
 
@@ -20,7 +24,15 @@ from ..losses import (
     distillation_loss,
     resource_loss,
 )
+from ..models.clip_text import (
+    CLIPTextConfig,
+    CLIPTextModel,
+    sdxl_text_encoder_2_config,
+    sdxl_text_encoder_config,
+)
 from ..utils import macs as macs_lib
+from ..utils.config import Config
+from ..utils.logging_utils import logger
 from .pruner import PruningTrainer
 from .steps import _forward_process, _get_latents, _safe_update
 
@@ -28,6 +40,80 @@ from .steps import _forward_process, _get_latents, _safe_update
 class SDXLPruningTrainer(PruningTrainer):
     """Overrides the jitted step to thread SDXL's added_cond through the
     gated U-Net; everything else (hypernet/quantizer/losses) is shared."""
+
+    def build_frozen_towers(self):
+        cfg = self.config
+        root = str(cfg.get("pretrained_model_name_or_path", ""))
+        # SDXL's first tower is CLIP ViT-L (quick_gelu), not the SD-2.1
+        # default; only override when the config didn't pin one
+        if not cfg.model.get("text_encoder_config") and os.path.isdir(
+            os.path.join(root, "text_encoder")
+        ):
+            cfg.model.text_encoder_config = Config.wrap(
+                asdict(sdxl_text_encoder_config())
+            )
+        super().build_frozen_towers()
+        # second tower: OpenCLIP ViT-bigG with text_projection (reference
+        # SDXLPruner.init_models loads tokenizer_2/text_encoder_2,
+        # trainer.py:1479-1593)
+        te2_cfg_dict = cfg.model.get("text_encoder_2_config")
+        self.text_encoder_2 = None
+        self.text_params_2 = None
+        te2_dir = os.path.join(root, "text_encoder_2")
+        if te2_cfg_dict or os.path.isdir(te2_dir):
+            cfg2 = CLIPTextConfig(
+                **(te2_cfg_dict or asdict(sdxl_text_encoder_2_config()))
+            )
+            self.text_encoder_2 = CLIPTextModel(cfg2, dtype=self.dtype)
+            if os.path.isdir(te2_dir):
+                from ..models.convert import convert_clip_text, load_torch_state_dict
+
+                for name in ("model.safetensors", "pytorch_model.bin"):
+                    p = os.path.join(te2_dir, name)
+                    if os.path.exists(p):
+                        self.text_params_2 = convert_clip_text(
+                            load_torch_state_dict(p), cfg2.num_hidden_layers
+                        )
+                        break
+
+    def _encode_sdxl_prompts(self, captions):
+        """Dual-tower encoding (diffusers SDXL encode_prompt semantics the
+        reference inherits): per caption, concat the two penultimate hidden
+        states -> prompt_embeds [L, 768+1280]; pooled projection of encoder 2
+        -> text_embeds."""
+        from transformers import CLIPTokenizer
+
+        root = str(self.config.get("pretrained_model_name_or_path", ""))
+        tok1 = CLIPTokenizer.from_pretrained(os.path.join(root, "tokenizer"))
+        tok2_dir = os.path.join(root, "tokenizer_2")
+        tok2 = CLIPTokenizer.from_pretrained(
+            tok2_dir if os.path.isdir(tok2_dir) else os.path.join(root, "tokenizer")
+        )
+
+        enc1, enc2 = self.text_encoder, self.text_encoder_2
+
+        @jax.jit
+        def encode(ids1, ids2):
+            _, _, h1 = enc1.apply(
+                {"params": self.text_params}, ids1, penultimate=True
+            )
+            _, pooled2, h2 = enc2.apply(
+                {"params": self.text_params_2}, ids2, penultimate=True
+            )
+            return jnp.concatenate([h1, h2], axis=-1), pooled2
+
+        out_pe, out_pool = [], []
+        bs = 64
+        for i in range(0, len(captions), bs):
+            chunk = list(captions[i : i + bs])
+            ids1 = tok1(chunk, padding="max_length", truncation=True,
+                        max_length=tok1.model_max_length, return_tensors="np").input_ids
+            ids2 = tok2(chunk, padding="max_length", truncation=True,
+                        max_length=tok2.model_max_length, return_tensors="np").input_ids
+            pe, pool = encode(jnp.asarray(ids1), jnp.asarray(ids2))
+            out_pe.append(np.asarray(pe, np.float32))
+            out_pool.append(np.asarray(pool, np.float32))
+        return np.concatenate(out_pe), np.concatenate(out_pool)
 
     def make_steps(self):
         unet, hypernet, qcfg = self.unet, self.hypernet, self.qcfg
@@ -100,8 +186,37 @@ class SDXLPruningTrainer(PruningTrainer):
 
         self.step_fn = step
 
-    def _make_collate(self, ds):
-        base = super()._make_collate(ds)
+    def _make_collate(self, ds, train: bool = True):
+        base = super()._make_collate(ds, train=train)
+        res = int(self.config.get_path("model.prediction_model.resolution", 512))
+        time_ids = np.array([res, res, 0, 0, res, res], np.float32)
+
+        dual = (
+            getattr(self, "text_encoder_2", None) is not None
+            and self.text_params_2 is not None
+            and self.text_params is not None
+            and hasattr(ds, "records")
+            and getattr(ds.records[0] if len(ds) else None, "caption", None) is not None
+        )
+        if dual:
+            pe, pooled = self._encode_sdxl_prompts([r.caption for r in ds.records])
+            empty_pe, empty_pooled = self._encode_sdxl_prompts([""])
+            logger.info("SDXL dual-tower embeddings precomputed: %s", pe.shape)
+
+            def collate(indices):
+                batch = base(indices)
+                # replace the single-tower embeds with the dual-tower concat
+                batch["prompt_embeds"] = pe[list(indices)]
+                batch["empty_prompt_embeds"] = np.repeat(
+                    empty_pe, len(indices), axis=0
+                )
+                batch["text_embeds"] = pooled[list(indices)]
+                batch["time_ids"] = np.tile(time_ids[None], (len(indices), 1))
+                return batch
+
+            return collate
+
+        # synthetic fallback: random micro-conditioning of the right dims
         proj_dim = int(self.config.get_path(
             "model.prediction_model.unet_config.projection_class_embeddings_input_dim",
             2816,
@@ -116,9 +231,7 @@ class SDXLPruningTrainer(PruningTrainer):
             batch = base(indices)
             b = len(indices)
             batch["text_embeds"] = rng.standard_normal((b, pooled_dim)).astype(np.float32)
-            batch["time_ids"] = np.tile(
-                np.array([512, 512, 0, 0, 512, 512], np.float32)[None], (b, 1)
-            )
+            batch["time_ids"] = np.tile(time_ids[None], (b, 1))
             return batch
 
         return collate

@@ -87,7 +87,7 @@ def _get_latents(vae, vae_params, batch, rng):
         mean, logvar = jnp.split(batch["latent_moments"], 2, axis=-1)
         std = jnp.exp(0.5 * jnp.clip(logvar, -30.0, 20.0))
         z = mean + std * jax.random.normal(rng, mean.shape, mean.dtype)
-        return z * vae.cfg.scaling_factor
+        return (z - vae.cfg.shift_factor) * vae.cfg.scaling_factor
     return jax.lax.stop_gradient(
         vae.apply({"params": vae_params}, batch["pixel_values"], rng, method=vae.encode)
     )
@@ -209,6 +209,59 @@ def make_upper_step(
 
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         new_params, new_opt_state = _safe_update(upper_tx, grads, upper_opt_state, params, loss)
+        return new_params, new_opt_state, metrics
+
+    return step
+
+
+# ---------------------------------------------------------------------------
+# DreamBooth upper step (DreamBoothBilevelUnetFineTuner.upper_step,
+# trainer.py:3314-3398): plain DDPM objective on paired instance/class
+# batches; with prior preservation the batch is [instance | prior] halves and
+# loss = mse(instance) + prior_loss_weight * mse(prior).
+# ---------------------------------------------------------------------------
+
+def make_dreambooth_upper_step(
+    student,
+    vae,
+    sched: DiffusionSchedule,
+    loss_cfg: LossConfig,
+    upper_tx: optax.GradientTransformation,
+    prior_loss_weight: float = 1.0,
+    with_prior_preservation: bool = True,
+):
+    """NOTE (deliberate deviation): for v-prediction the reference passes
+    ``noisy_latents`` to get_velocity (trainer.py:3373) — a known HF-script
+    quirk; here the target comes from ``sched.training_target(latents, …)``,
+    the correct velocity."""
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, upper_opt_state, frozen, batch, rng):
+        k_vae, k_fwd = jax.random.split(rng)
+        latents = _get_latents(vae, frozen["vae"], batch, k_vae)
+        noisy, timesteps, target = _forward_process(sched, loss_cfg, latents, k_fwd)
+        ctx = batch["prompt_embeds"]
+
+        def loss_fn(p):
+            pred = student.apply({"params": p}, noisy, timesteps, ctx)
+            se = ((pred.astype(jnp.float32) - target.astype(jnp.float32)) ** 2)
+            per_row = se.reshape(se.shape[0], -1).mean(axis=1)
+            if with_prior_preservation:
+                inst, prior = jnp.split(per_row, 2, axis=0)
+                inst_loss = inst.mean()
+                prior_loss = prior.mean()
+                loss = inst_loss + prior_loss_weight * prior_loss
+            else:
+                inst_loss = per_row.mean()
+                prior_loss = jnp.asarray(0.0)
+                loss = inst_loss
+            return loss, {"upper_loss": loss, "instance_loss": inst_loss,
+                          "prior_loss": prior_loss}
+
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        new_params, new_opt_state = _safe_update(
+            upper_tx, grads, upper_opt_state, params, loss
+        )
         return new_params, new_opt_state, metrics
 
     return step

@@ -190,10 +190,14 @@ class BaseTrainer:
         else:
             self.text_params = None  # tests use synthetic prompt embeddings
 
-        # MPNet prompt encoder (reference loads it unconditionally for the
-        # pruning stage and dataset filtering, trainer.py:790-800). Weights
-        # come from a local HF dir named by `mpnet_model`; tiny test configs
-        # may instead carry an explicit `model.mpnet_config`.
+        self._load_mpnet()
+
+    def _load_mpnet(self):
+        """MPNet prompt encoder (reference loads it unconditionally for the
+        pruning stage and dataset filtering, trainer.py:790-800). Weights
+        come from a local HF dir named by `mpnet_model`; tiny test configs
+        may instead carry an explicit `model.mpnet_config`."""
+        cfg = self.config
         mp_cfg_dict = cfg.model.get("mpnet_config")
         self.mpnet_cfg = MPNetConfig(**(mp_cfg_dict or {}))
         self.mpnet = MPNetModel(self.mpnet_cfg, dtype=self.dtype)
