@@ -93,11 +93,14 @@ def build(args):
 
     sched = DiffusionSchedule()
     loss_cfg = LossConfig()
-    tx = make_optimizer(1e-6)
+    # bf16 first moments: two AdamW states over the 508M-param student do not
+    # fit 16GB v5e HBM at fp32 (see make_optimizer docstring); nu stays fp32
+    mu_dtype = jnp.bfloat16 if not args.lower_only else None
+    tx = make_optimizer(1e-6, mu_dtype=mu_dtype)
     step = make_finetune_step(student_mod, teacher_mod, vae, sched, loss_cfg, tx)
     # upper optimizer: reference bilevel config (unet_unlearning_learning_rate
     # 5e-6, configs/baselines/sd-2-1_coco_aptp_both_512_bilevel.yaml)
-    upper_tx = make_optimizer(5e-6)
+    upper_tx = make_optimizer(5e-6, mu_dtype=mu_dtype)
     upper_step = make_upper_step(student_mod, teacher_mod, vae, sched, loss_cfg, upper_tx)
 
     n_t = sum(x.size for x in jax.tree.leaves(teacher_params))
@@ -116,7 +119,7 @@ def run(args):
         resolution, seq, xdim = build(args)
 
     # largest-first; first success wins (b16 = 29.0 samples/s, b8 = 27.0 measured)
-    batch_sizes = [args.batch_size] if args.batch_size else ([2] if args.smoke else [16, 8])
+    batch_sizes = [args.batch_size] if args.batch_size else ([2] if args.smoke else [16, 8, 4])
     rng = np.random.default_rng(1)
     best = None
     frozen_dtype = jnp.float32 if args.smoke else jnp.bfloat16

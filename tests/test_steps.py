@@ -101,6 +101,34 @@ def test_upper_step(setup):
     assert float(m1["upper_distill_loss"]) > 0
 
 
+def test_finetune_step_with_sharded_moments(setup):
+    """ZeRO-1 optimizer-state sharding: moments split over the dp axis, step
+    result identical to the replicated layout (XLA inserts the collectives)."""
+    from unlearn_ft_tpu.parallel import shard_moments
+
+    cfg, spec, layout, unet, vae, sched, uparams, vparams, mesh, batch = setup
+    loss_cfg = LossConfig()
+    tx = make_optimizer(1e-4, warmup_steps=2)
+    step = make_finetune_step(unet, unet, vae, sched, loss_cfg, tx)
+    frozen = {"teacher": _fresh(uparams, mesh), "vae": _fresh(vparams, mesh)}
+
+    p_rep, o_rep, _ = step(
+        _fresh(uparams, mesh), _fresh(tx.init(uparams), mesh), frozen, batch,
+        jax.random.PRNGKey(7),
+    )
+    o_sh = shard_moments(jax.tree.map(jnp.copy, tx.init(uparams)), mesh)
+    # at least one big leaf actually sharded
+    assert any(
+        not s.is_fully_replicated
+        for s in (x.sharding for x in jax.tree.leaves(o_sh) if hasattr(x, "sharding"))
+    )
+    p_sh, o_sh1, _ = step(
+        _fresh(uparams, mesh), o_sh, frozen, batch, jax.random.PRNGKey(7)
+    )
+    for a, b in zip(jax.tree.leaves(p_rep), jax.tree.leaves(p_sh)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
 def test_pruner_step(setup):
     cfg, spec, layout, unet, vae, sched, uparams, vparams, mesh, batch = setup
     hn = HyperStructure(layout, input_dim=12)

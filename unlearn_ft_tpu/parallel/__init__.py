@@ -1,1 +1,1 @@
-from .mesh import create_mesh, shard_batch, replicate  # noqa: F401
+from .mesh import create_mesh, replicate, shard_batch, shard_moments  # noqa: F401

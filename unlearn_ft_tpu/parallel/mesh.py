@@ -35,3 +35,31 @@ def shard_batch(batch, mesh: Mesh, axis_name: str = "dp"):
 def replicate(tree, mesh: Mesh):
     sharding = NamedSharding(mesh, P())
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def shard_moments(tree, mesh: Mesh, axis_name: str = "dp"):
+    """ZeRO-1-style optimizer-state sharding: each leaf's largest
+    dp-divisible dimension is split across the mesh, so each chip holds
+    1/N of the AdamW moments (the bilevel mix carries TWO moment sets over
+    ~500M params — replicated fp32 they exceed 16GB v5e HBM). Params stay
+    replicated; XLA inserts the update-time collectives from the sharding
+    annotations, exactly like the gradient psum. Falls back to replication
+    for leaves with no divisible dimension (scalars, odd shapes)."""
+    n = mesh.devices.size
+    if n == 1:
+        return replicate(tree, mesh)
+
+    def spec_for(x):
+        shape = np.shape(x)
+        if not shape:
+            return P()
+        for d in sorted(range(len(shape)), key=lambda d: -shape[d]):
+            if shape[d] % n == 0 and shape[d] >= n:
+                spec = [None] * len(shape)
+                spec[d] = axis_name
+                return P(*spec)
+        return P()
+
+    return jax.tree.map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, spec_for(x))), tree
+    )

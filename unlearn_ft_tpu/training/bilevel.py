@@ -56,9 +56,8 @@ class BilevelFineTuneTrainer(FineTuneTrainer):
         self.upper_tx = self.make_tx(
             lr_key="unet_unlearning_learning_rate", wd_key="prediction_model_weight_decay"
         )
-        self.upper_opt_state = replicate(
-            self.upper_tx.init(jax.tree.map(np.asarray, jax.device_get(self.params))),
-            self.mesh,
+        self.upper_opt_state = self._place_opt_state(
+            self.upper_tx.init(jax.tree.map(np.asarray, jax.device_get(self.params)))
         )
 
     def make_steps(self):
@@ -117,8 +116,8 @@ class BilevelFineTuneTrainer(FineTuneTrainer):
         }
         restored = self.ckpt.restore(step, tree)
         self.params = replicate(restored["params"], self.mesh)
-        self.opt_state = replicate(restored["opt_state"], self.mesh)
-        self.upper_opt_state = replicate(restored["upper_opt_state"], self.mesh)
+        self.opt_state = self._place_opt_state(restored["opt_state"])
+        self.upper_opt_state = self._place_opt_state(restored["upper_opt_state"])
         self.global_step = int(restored["step"])
         logger.info("resumed from checkpoint-%d", step)
 

@@ -398,10 +398,19 @@ class FineTuneTrainer(BaseTrainer):
         }
 
     # ---- optimization ---------------------------------------------------------
+    def _place_opt_state(self, opt_state):
+        """ZeRO-1 moment sharding over the dp mesh by default (reference has
+        no equivalent — its optimizer state is replicated per DDP rank)."""
+        from ..parallel import shard_moments
+
+        if self.config.get_path("training.optim.shard_optimizer_states", True):
+            return shard_moments(opt_state, self.mesh)
+        return replicate(opt_state, self.mesh)
+
     def init_optimizers(self):
         self.tx = self.make_tx()
-        self.opt_state = replicate(
-            self.tx.init(jax.tree.map(np.asarray, jax.device_get(self.params))), self.mesh
+        self.opt_state = self._place_opt_state(
+            self.tx.init(jax.tree.map(np.asarray, jax.device_get(self.params)))
         )
 
     def make_steps(self):
@@ -529,7 +538,7 @@ class FineTuneTrainer(BaseTrainer):
         }
         restored = self.ckpt.restore(step, tree)
         self.params = replicate(restored["params"], self.mesh)
-        self.opt_state = replicate(restored["opt_state"], self.mesh)
+        self.opt_state = self._place_opt_state(restored["opt_state"])
         self.global_step = int(restored["step"])
         logger.info("resumed from checkpoint-%d", step)
 

@@ -55,9 +55,16 @@ def make_optimizer(
     warmup_steps: int = 0,
     total_steps: Optional[int] = None,
     max_grad_norm: Optional[float] = None,
+    mu_dtype=None,
 ) -> optax.GradientTransformation:
+    """``mu_dtype=bfloat16`` halves the first-moment memory (optax's standard
+    HBM knob) — the bilevel mix holds two AdamW states over ~500M params,
+    which doesn't fit 16GB v5e HBM at fp32; nu stays fp32."""
     schedule = make_lr_schedule(lr_scheduler, learning_rate, warmup_steps, total_steps)
-    tx = optax.adamw(schedule, b1=beta1, b2=beta2, eps=eps, weight_decay=weight_decay)
+    tx = optax.adamw(
+        schedule, b1=beta1, b2=beta2, eps=eps, weight_decay=weight_decay,
+        mu_dtype=mu_dtype,
+    )
     if max_grad_norm is not None:
         tx = optax.chain(optax.clip_by_global_norm(max_grad_norm), tx)
     return tx
