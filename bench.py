@@ -214,6 +214,13 @@ def run(args):
             break  # largest-first: first fitting batch size is the answer
         except Exception as e:  # OOM at large batch: fall through to smaller
             print(f"# batch {bs} failed: {type(e).__name__}: {str(e)[:200]}", file=sys.stderr)
+            # free this attempt's device buffers before retrying — stale
+            # params/opt-state references otherwise stay resident and turn a
+            # batch-16 OOM into cascading OOMs at every smaller batch
+            params = opt_state = upper_opt_state = batch = upper_batch = None  # noqa: F841
+            import gc
+
+            gc.collect()
             continue
     if best is None:
         raise RuntimeError("all batch sizes failed")

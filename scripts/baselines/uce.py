@@ -20,41 +20,20 @@ def main(argv=None):
     p.add_argument("--lamb", type=float, default=0.5)
     p.add_argument("--erase_scale", type=float, default=1.0)
     p.add_argument("--preserve_scale", type=float, default=0.1)
+    p.add_argument("--technique", default="replace", choices=["replace", "tensor"],
+                   help="erase technique (train_erase.py:341): 'replace' swaps in "
+                        "the guided concept's values, 'tensor' removes the old "
+                        "concept's value direction from them")
     p.add_argument("--out", required=True, help=".npz overlay output path")
     args = p.parse_args(argv)
 
-    import jax
     import jax.numpy as jnp
 
     from unlearn_ft_tpu.baselines import uce_edit
-    from unlearn_ft_tpu.baselines.overlay import save_overlay
-    from unlearn_ft_tpu.models.unet import UNet2DConditionModel
-    from unlearn_ft_tpu.models.clip_text import CLIPTextConfig, CLIPTextModel
-    from unlearn_ft_tpu.models.convert import convert_clip_text, load_torch_state_dict
-    from unlearn_ft_tpu.training.checkpoint import CheckpointManager, spec_from_json
+    from unlearn_ft_tpu.loading import load_text_tower, load_unet_from_checkpoint
 
-    with open(os.path.join(args.checkpoint_dir, "unet_spec.json")) as f:
-        spec = spec_from_json(f.read())
-    ckpt_root = os.path.dirname(os.path.abspath(args.checkpoint_dir))
-    step_idx = int(os.path.basename(args.checkpoint_dir.rstrip("/")).split("-")[-1])
-    mgr = CheckpointManager(ckpt_root)
-    unet = UNet2DConditionModel(spec)
-    template = jax.eval_shape(
-        lambda k: unet.init(
-            k, jnp.zeros((1, 64, 64, spec.in_channels)), jnp.zeros((1,), jnp.int32),
-            jnp.zeros((1, 77, spec.cross_attention_dim)),
-        ),
-        jax.random.PRNGKey(0),
-    )["params"]
-    template = jax.tree.map(lambda s: np.zeros(s.shape, np.float32), template)
-    params = mgr.restore(step_idx, {"params": template, "step": 0})["params"]
-
-    text_encoder = CLIPTextModel(CLIPTextConfig())
-    text_params = convert_clip_text(load_torch_state_dict(
-        os.path.join(args.pretrained_root, "text_encoder", "model.safetensors")))
-    from transformers import CLIPTokenizer
-
-    tok = CLIPTokenizer.from_pretrained(os.path.join(args.pretrained_root, "tokenizer"))
+    spec, unet, params, _ = load_unet_from_checkpoint(args.checkpoint_dir)
+    text_encoder, text_params, tok = load_text_tower(args.pretrained_root)
 
     def token_embed(prompts):
         """Per-concept embedding = mean of non-pad token states (UCE uses the
@@ -79,7 +58,7 @@ def main(argv=None):
     ) else None
 
     edited = uce_edit(params, spec, old, new, keep, args.lamb, args.erase_scale,
-                      args.preserve_scale)
+                      args.preserve_scale, technique=args.technique)
 
     # save only the attn2 K/V kernels that changed
     overlay = {}

@@ -36,30 +36,18 @@ def main(argv=None):
     import jax.numpy as jnp
 
     from unlearn_ft_tpu.data.datasets import CocoCaptions
-    from unlearn_ft_tpu.models.unet import UNet2DConditionModel
-    from unlearn_ft_tpu.models.clip_text import CLIPTextConfig, CLIPTextModel
-    from unlearn_ft_tpu.models.convert import convert_clip_text, convert_vae, load_torch_state_dict
-    from unlearn_ft_tpu.models.vae import AutoencoderKL, VAEConfig
+    from unlearn_ft_tpu.loading import (
+        load_text_tower,
+        load_unet_from_checkpoint,
+        load_vae_tower,
+    )
     from unlearn_ft_tpu.pipelines import SDPipeline
     from unlearn_ft_tpu.schedulers import DiffusionSchedule
-    from unlearn_ft_tpu.training.checkpoint import CheckpointManager, spec_from_json
 
     # --- load expert (spec + params from the checkpoint dir) ---------------
-    with open(os.path.join(args.checkpoint_dir, "unet_spec.json")) as f:
-        spec = spec_from_json(f.read())
-    ckpt_root = os.path.dirname(os.path.abspath(args.checkpoint_dir))
-    step = int(os.path.basename(args.checkpoint_dir.rstrip("/")).split("-")[-1])
-    mgr = CheckpointManager(ckpt_root)
-    unet = UNet2DConditionModel(spec, dtype=jnp.bfloat16)
-    # restore with a shape template from spec
-    sample = jnp.zeros((1, args.resolution // 8, args.resolution // 8, spec.in_channels))
-    ctx = jnp.zeros((1, 77, spec.cross_attention_dim))
-    template = jax.eval_shape(
-        lambda k: unet.init(k, sample, jnp.zeros((1,), jnp.int32), ctx), jax.random.PRNGKey(0)
-    )["params"]
-    template = jax.tree.map(lambda s: np.zeros(s.shape, np.float32), template)
-    restored = mgr.restore(step, {"params": template, "step": 0})
-    unet_params = restored["params"]
+    spec, unet, unet_params, _ = load_unet_from_checkpoint(
+        args.checkpoint_dir, dtype=jnp.bfloat16
+    )
 
     if args.erasure_ckpt_path:
         # overlay an erasure state dict (ESD/UCE output; either torch names or
@@ -68,18 +56,10 @@ def main(argv=None):
 
         unet_params = apply_erasure_overlay(unet_params, spec, args.erasure_ckpt_path)
 
-    vae_cfg = VAEConfig()
-    vae = AutoencoderKL(vae_cfg, dtype=jnp.bfloat16)
-    vae_params = convert_vae(load_torch_state_dict(
-        os.path.join(args.pretrained_root, "vae", "diffusion_pytorch_model.safetensors")))
-
-    clip_cfg = CLIPTextConfig()
-    text_encoder = CLIPTextModel(clip_cfg, dtype=jnp.bfloat16)
-    text_params = convert_clip_text(load_torch_state_dict(
-        os.path.join(args.pretrained_root, "text_encoder", "model.safetensors")))
-    from transformers import CLIPTokenizer
-
-    tokenizer = CLIPTokenizer.from_pretrained(os.path.join(args.pretrained_root, "tokenizer"))
+    vae, vae_params = load_vae_tower(args.pretrained_root, dtype=jnp.bfloat16)
+    text_encoder, text_params, tokenizer = load_text_tower(
+        args.pretrained_root, dtype=jnp.bfloat16
+    )
 
     sched = DiffusionSchedule()
     pipe = SDPipeline(unet, unet_params, vae, vae_params, sched, scheduler_type="pndm",

@@ -65,6 +65,42 @@ def test_uce_edit_changes_only_cross_attn(unet_setup):
     assert cos > 0.9
 
 
+def test_uce_edit_tensor_technique_orthogonalizes(unet_setup):
+    """technique='tensor' (train_erase.py:282-291): the target value is the
+    new concept's value with its component along the old concept's value
+    direction removed, so the edited W maps the old concept nearly
+    orthogonal to its original value direction."""
+    cfg, spec, unet, params = unet_setup
+    rng = np.random.default_rng(1)
+    old = rng.standard_normal((1, 16)).astype(np.float32)
+    new = rng.standard_normal((1, 16)).astype(np.float32)
+    edited = uce_edit(params, spec, old, new, lamb=0.1, technique="tensor")
+
+    tb = "transformer_blocks_0"
+    W0 = np.asarray(
+        params["down_blocks_0"]["attentions_0"][tb]["attn2"]["to_v"]["kernel"]
+    ).T
+    W = np.asarray(
+        edited["down_blocks_0"]["attentions_0"][tb]["attn2"]["to_v"]["kernel"]
+    ).T
+    u = W0 @ old[0]
+    u = u / np.linalg.norm(u)
+    got = W @ old[0]
+    # the replace technique keeps the new value's component along u; tensor
+    # removes it: |cos(got, u)| shrinks vs replace's
+    got_replace = (
+        np.asarray(
+            uce_edit(params, spec, old, new, lamb=0.1)["down_blocks_0"]["attentions_0"][
+                tb
+            ]["attn2"]["to_v"]["kernel"]
+        ).T
+        @ old[0]
+    )
+    cos_tensor = abs(np.dot(got, u) / np.linalg.norm(got))
+    cos_replace = abs(np.dot(got_replace, u) / np.linalg.norm(got_replace))
+    assert cos_tensor < cos_replace
+
+
 def test_uce_edit_covers_all_transformer_layers():
     """SDXL-style multi-layer transformers: every layer's attn2 must be
     edited (reference collects transformer.attn2 per transformer_block,

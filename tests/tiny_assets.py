@@ -89,6 +89,8 @@ def make_tiny_sd_root(root: str) -> dict:
     save_file({k: v.contiguous() for k, v in hf.state_dict().items()},
               os.path.join(te_dir, "model.safetensors"))
     cfg = {k: v for k, v in TINY_CLIP.items() if k != "bos_token_id"}
+    with open(os.path.join(te_dir, "config.json"), "w") as f:
+        json.dump({**cfg, "architectures": ["CLIPTextModel"]}, f)
     return cfg
 
 
@@ -151,6 +153,8 @@ def make_tiny_sdxl_root(root: str) -> tuple:
     save_file({k: v.contiguous() for k, v in hf2.state_dict().items()},
               os.path.join(te2_dir, "model.safetensors"))
     te2_cfg = {k: v for k, v in TINY_CLIP2.items() if k != "bos_token_id"}
+    with open(os.path.join(te2_dir, "config.json"), "w") as f:
+        json.dump({**te2_cfg, "architectures": ["CLIPTextModelWithProjection"]}, f)
     return te_cfg, te2_cfg
 
 
@@ -191,3 +195,145 @@ def make_tiny_flux_root(root: str) -> tuple:
 
     te_cfg = {k: v for k, v in TINY_FLUX_CLIP.items() if k != "bos_token_id"}
     return te_cfg, dict(TINY_T5)
+
+
+# ---------------------------------------------------------------------------
+# Tiny diffusers-format VAE (inverse of models/convert.convert_vae) — lets
+# CLI entry points that load `vae/diffusion_pytorch_model.safetensors` run
+# fully offline. Roundtrip-tested in test_cli_baselines.py.
+# ---------------------------------------------------------------------------
+
+def _t_conv(out, p, tree):
+    # ascontiguousarray: safetensors.numpy.save_file silently writes the
+    # *underlying buffer* of non-contiguous views (data corruption)
+    out[p + ".weight"] = np.ascontiguousarray(
+        np.transpose(np.asarray(tree["kernel"]), (3, 2, 0, 1))
+    )
+    if "bias" in tree:
+        out[p + ".bias"] = np.asarray(tree["bias"])
+
+
+def _t_norm(out, p, tree):
+    out[p + ".weight"] = np.asarray(tree["scale"])
+    out[p + ".bias"] = np.asarray(tree["bias"])
+
+
+def _t_linear(out, p, tree):
+    out[p + ".weight"] = np.ascontiguousarray(np.asarray(tree["kernel"]).T)
+    if "bias" in tree:
+        out[p + ".bias"] = np.asarray(tree["bias"])
+
+
+def _t_resnet(out, p, tree):
+    _t_norm(out, p + ".norm1", tree["norm1"])
+    _t_conv(out, p + ".conv1", tree["conv1"])
+    _t_norm(out, p + ".norm2", tree["norm2"])
+    _t_conv(out, p + ".conv2", tree["conv2"])
+    if "conv_shortcut" in tree:
+        _t_conv(out, p + ".conv_shortcut", tree["conv_shortcut"])
+
+
+def _t_mid(out, p, tree):
+    _t_resnet(out, p + ".resnets.0", tree["resnets_0"])
+    attn = tree["attentions_0"]
+    _t_norm(out, p + ".attentions.0.group_norm", attn["group_norm"])
+    for n in ("to_q", "to_k", "to_v"):
+        _t_linear(out, p + f".attentions.0.{n}", attn[n])
+    _t_linear(out, p + ".attentions.0.to_out.0", attn["to_out_0"])
+    _t_resnet(out, p + ".resnets.1", tree["resnets_1"])
+
+
+def export_vae_state_dict(flax_params: dict, block_out_channels, layers_per_block) -> dict:
+    """Flax VAE param tree -> diffusers torch-naming state dict (numpy)."""
+    n = len(block_out_channels)
+    out: dict = {}
+    enc = flax_params["encoder"]
+    _t_conv(out, "encoder.conv_in", enc["conv_in"])
+    _t_norm(out, "encoder.conv_norm_out", enc["conv_norm_out"])
+    _t_conv(out, "encoder.conv_out", enc["conv_out"])
+    _t_mid(out, "encoder.mid_block", enc["mid_block"])
+    for i in range(n):
+        for j in range(layers_per_block):
+            _t_resnet(out, f"encoder.down_blocks.{i}.resnets.{j}",
+                      enc[f"down_blocks_{i}_resnets_{j}"])
+        if i < n - 1:
+            _t_conv(out, f"encoder.down_blocks.{i}.downsamplers.0.conv",
+                    enc[f"down_blocks_{i}_downsampler"])
+    dec = flax_params["decoder"]
+    _t_conv(out, "decoder.conv_in", dec["conv_in"])
+    _t_norm(out, "decoder.conv_norm_out", dec["conv_norm_out"])
+    _t_conv(out, "decoder.conv_out", dec["conv_out"])
+    _t_mid(out, "decoder.mid_block", dec["mid_block"])
+    for i in range(n):
+        for j in range(layers_per_block + 1):
+            _t_resnet(out, f"decoder.up_blocks.{i}.resnets.{j}",
+                      dec[f"up_blocks_{i}_resnets_{j}"])
+        if i < n - 1:
+            _t_conv(out, f"decoder.up_blocks.{i}.upsamplers.0.conv",
+                    dec[f"up_blocks_{i}_upsampler"])
+    _t_conv(out, "quant_conv", flax_params["quant_conv"])
+    _t_conv(out, "post_quant_conv", flax_params["post_quant_conv"])
+    return out
+
+
+def make_tiny_vae(root: str, block_out_channels=(8, 16), layers_per_block=1,
+                  norm_num_groups=4, latent_channels=4, seed: int = 11) -> dict:
+    """Write {root}/vae/{diffusion_pytorch_model.safetensors,config.json}
+    for a tiny random-init VAE. Returns the matching VAEConfig kwargs."""
+    import jax
+    import jax.numpy as jnp
+    from safetensors.numpy import save_file as np_save_file
+
+    from unlearn_ft_tpu.models.vae import AutoencoderKL, VAEConfig
+
+    kw = dict(block_out_channels=tuple(block_out_channels),
+              layers_per_block=layers_per_block, norm_num_groups=norm_num_groups,
+              latent_channels=latent_channels)
+    vae = AutoencoderKL(VAEConfig(**kw))
+    x = jnp.zeros((1, 16, 16, 3))
+    params = vae.init(jax.random.PRNGKey(seed), x, jax.random.PRNGKey(seed + 1))["params"]
+    sd = export_vae_state_dict(
+        jax.tree.map(lambda a: np.asarray(a, np.float32), params),
+        block_out_channels, layers_per_block,
+    )
+    vae_dir = os.path.join(root, "vae")
+    os.makedirs(vae_dir, exist_ok=True)
+    np_save_file(sd, os.path.join(vae_dir, "diffusion_pytorch_model.safetensors"))
+    with open(os.path.join(vae_dir, "config.json"), "w") as f:
+        json.dump({"_class_name": "AutoencoderKL", "in_channels": 3,
+                   "out_channels": 3, "scaling_factor": 0.18215, **kw,
+                   "block_out_channels": list(block_out_channels)}, f)
+    return kw
+
+
+def make_tiny_clip_classifier(root: str) -> str:
+    """Tiny full CLIP (text+vision) model dir loadable with
+    CLIPModel/CLIPProcessor.from_pretrained — stands in for the
+    openai/clip-vit-base-patch32 zero-shot classifier the reference's
+    debias loop downloads (train_debias.py:126-168)."""
+    import torch
+    from transformers import (
+        CLIPConfig,
+        CLIPImageProcessor,
+        CLIPModel,
+        CLIPProcessor,
+        CLIPTokenizer,
+    )
+
+    os.makedirs(root, exist_ok=True)
+    _write_clip_tokenizer(root, TINY_CLIP["vocab_size"])
+    tok = CLIPTokenizer.from_pretrained(root)
+    image_processor = CLIPImageProcessor(
+        size={"shortest_edge": 32}, crop_size={"height": 32, "width": 32}
+    )
+    CLIPProcessor(image_processor=image_processor, tokenizer=tok).save_pretrained(root)
+    torch.manual_seed(9)
+    cfg = CLIPConfig(
+        text_config={**{k: v for k, v in TINY_CLIP.items()}, "projection_dim": 16},
+        vision_config=dict(hidden_size=16, num_hidden_layers=2, num_attention_heads=2,
+                           intermediate_size=32, image_size=32, patch_size=8,
+                           projection_dim=16),
+        projection_dim=16,
+    )
+    CLIPModel(cfg).eval().save_pretrained(root)
+    return root

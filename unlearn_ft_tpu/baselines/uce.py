@@ -60,10 +60,19 @@ def uce_edit(
     lamb: float = 0.5,
     erase_scale: float = 1.0,
     preserve_scale: float = 0.1,
+    technique: str = "replace",
 ) -> Dict:
-    """Returns a new params tree with edited attn2 to_k/to_v kernels."""
+    """Returns a new params tree with edited attn2 to_k/to_v kernels.
+
+    ``technique`` follows the reference (train_erase.py:282-295):
+    - "replace" (the reference CLI default): target value = W @ k_new.
+    - "tensor": target = W @ k_new with its component along the *old*
+      concept's value direction removed (orthogonalized), so the edit
+      erases the old direction instead of substituting the new one.
+    """
     import copy
 
+    assert technique in ("replace", "tensor"), technique
     params = copy.deepcopy(params)
     old = np.asarray(old_embeddings, np.float64)
     new = np.asarray(new_embeddings, np.float64)
@@ -73,6 +82,14 @@ def uce_edit(
         else np.zeros((0, old.shape[1]))
     )
 
+    def _target(W, k_old, k_new):
+        v = W @ k_new
+        if technique == "tensor":
+            u = W @ k_old
+            u = u / max(np.linalg.norm(u), 1e-12)
+            v = v - (u @ v) * u
+        return v
+
     for bname, aname, lname in _cross_attn_paths(spec):
         tb = params[bname][aname][lname]["attn2"]
         for proj in ("to_k", "to_v"):
@@ -80,7 +97,7 @@ def uce_edit(
             W = np.asarray(tb[proj]["kernel"], np.float64).T
             mat1_terms = [
                 # target value: what the replacement concept produces under W
-                (erase_scale, W @ k_new, k_old)
+                (erase_scale, _target(W, k_old, k_new), k_old)
                 for k_old, k_new in zip(old, new)
             ]
             mat1_terms += [(preserve_scale, W @ k, k) for k in keep]

@@ -83,15 +83,89 @@ class GEGLU(nn.Module):
         return h * nn.gelu(gate, approximate=False)
 
 
-class FeedForward(nn.Module):
-    dim_out: int
+class GELU(nn.Module):
+    """Gated plain-GELU activation (GatedGELU, activations.py:8-56;
+    ``approximate='tanh'`` selects the tanh form)."""
+
+    inner_dim: int
+    gate_width: int = 32
+    approximate: str = "none"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, neuron_gate: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        h = nn.Dense(self.inner_dim, dtype=self.dtype, name="proj")(x)
+        h = nn.gelu(h, approximate=self.approximate == "tanh")
+        if neuron_gate is not None:
+            m = expand_group_gate(broadcast_gate(neuron_gate, x.shape[0]), self.inner_dim)
+            h = h * m[:, None, :].astype(h.dtype)
+        return h
+
+
+class ApproximateGELU(nn.Module):
+    """Gated sigmoid-approximate GELU ``x * sigmoid(1.702 x)``
+    (GatedApproximateGELU, activations.py)."""
+
     inner_dim: int
     gate_width: int = 32
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, neuron_gate: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-        h = GEGLU(self.inner_dim, self.gate_width, dtype=self.dtype, name="net_0")(x, neuron_gate)
+        h = nn.Dense(self.inner_dim, dtype=self.dtype, name="proj")(x)
+        h = h * nn.sigmoid(1.702 * h)
+        if neuron_gate is not None:
+            m = expand_group_gate(broadcast_gate(neuron_gate, x.shape[0]), self.inner_dim)
+            h = h * m[:, None, :].astype(h.dtype)
+        return h
+
+
+class SwiGLU(nn.Module):
+    """Gated SwiGLU: like GEGLU but with SiLU on the gate half
+    (GatedSwiGLU, activations.py)."""
+
+    inner_dim: int
+    gate_width: int = 32
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, neuron_gate: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        proj = nn.Dense(self.inner_dim * 2, dtype=self.dtype, name="proj")(x)
+        h, gate = jnp.split(proj, 2, axis=-1)
+        if neuron_gate is not None:
+            m = expand_group_gate(broadcast_gate(neuron_gate, x.shape[0]), self.inner_dim)
+            m = m[:, None, :].astype(h.dtype)
+            h, gate = h * m, gate * m
+        return h * nn.silu(gate)
+
+
+# activation_fn values follow the reference's GatedFeedForward switch
+# (pdm/models/attention.py; diffusers FeedForward activation_fn names)
+_FF_ACTIVATIONS = {
+    "geglu": lambda inner, gw, dt: GEGLU(inner, gw, dtype=dt, name="net_0"),
+    "gelu": lambda inner, gw, dt: GELU(inner, gw, dtype=dt, name="net_0"),
+    "gelu-approximate": lambda inner, gw, dt: GELU(
+        inner, gw, approximate="tanh", dtype=dt, name="net_0"
+    ),
+    "swiglu": lambda inner, gw, dt: SwiGLU(inner, gw, dtype=dt, name="net_0"),
+}
+
+
+class FeedForward(nn.Module):
+    """Gated FF (GatedFeedForward). SD/SDXL specs always use geglu (what the
+    analytic MACs accounting assumes); the other activations are the
+    reference's parity surface for non-SD diffusers models."""
+
+    dim_out: int
+    inner_dim: int
+    gate_width: int = 32
+    activation_fn: str = "geglu"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, neuron_gate: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        act = _FF_ACTIVATIONS[self.activation_fn](self.inner_dim, self.gate_width, self.dtype)
+        h = act(x, neuron_gate)
         return nn.Dense(self.dim_out, dtype=self.dtype, name="net_2")(h)
 
 

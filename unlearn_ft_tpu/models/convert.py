@@ -350,3 +350,57 @@ def load_torch_state_dict_dir(path: str) -> Dict:
         if os.path.exists(p):
             return load_torch_state_dict(p)
     raise FileNotFoundError(f"no model weights under {path}")
+
+
+# ---------------------------------------------------------------------------
+# Model-root config discovery
+# ---------------------------------------------------------------------------
+
+def clip_config_from_dir(te_dir: str, default=None):
+    """Build a CLIPTextConfig from an HF text_encoder dir's config.json —
+    what the reference gets implicitly from ``from_pretrained``
+    (pdm/training/trainer.py:2139-2141). Falls back to ``default``
+    (SD-2.1) when the dir has no config.json."""
+    import json
+    import os
+
+    from .clip_text import CLIPTextConfig
+
+    path = os.path.join(te_dir, "config.json")
+    if not os.path.exists(path):
+        return default if default is not None else CLIPTextConfig()
+    with open(path) as f:
+        raw = json.load(f)
+    fields = (
+        "vocab_size", "hidden_size", "num_hidden_layers", "num_attention_heads",
+        "intermediate_size", "max_position_embeddings", "hidden_act",
+        "layer_norm_eps", "eos_token_id",
+    )
+    kw = {k: raw[k] for k in fields if k in raw}
+    # projection_dim appears in every HF CLIP config; only WithProjection
+    # checkpoints actually carry text_projection weights
+    if "CLIPTextModelWithProjection" in (raw.get("architectures") or []):
+        kw["projection_dim"] = raw.get("projection_dim") or 0
+    return CLIPTextConfig(**kw)
+
+
+def vae_config_from_dir(vae_dir: str, default=None):
+    """Build a VAEConfig from an HF diffusers vae dir's config.json."""
+    import json
+    import os
+
+    from .vae import VAEConfig
+
+    path = os.path.join(vae_dir, "config.json")
+    if not os.path.exists(path):
+        return default if default is not None else VAEConfig()
+    with open(path) as f:
+        raw = json.load(f)
+    fields = (
+        "in_channels", "out_channels", "latent_channels", "layers_per_block",
+        "norm_num_groups", "scaling_factor", "shift_factor",
+    )
+    kw = {k: raw[k] for k in fields if k in raw and raw[k] is not None}
+    if "block_out_channels" in raw:
+        kw["block_out_channels"] = tuple(raw["block_out_channels"])
+    return VAEConfig(**kw)
