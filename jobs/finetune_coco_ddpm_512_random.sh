@@ -1,0 +1,3 @@
+#!/usr/bin/env bash
+CONFIG=sd-2-1_coco_aptp_ddpm_512_random.yaml RUN_NAME=aptp-coco-ddpm-512-random \
+  exec bash "$(dirname "$0")/_finetune_common.sh" "$@"

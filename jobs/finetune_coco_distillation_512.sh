@@ -1,0 +1,3 @@
+#!/usr/bin/env bash
+CONFIG=sd-2-1_coco_aptp_distillation_512.yaml RUN_NAME=aptp-coco-distillation-512 \
+  exec bash "$(dirname "$0")/_finetune_common.sh" "$@"
