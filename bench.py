@@ -93,14 +93,23 @@ def build(args):
 
     sched = DiffusionSchedule()
     loss_cfg = LossConfig()
-    # bf16 first moments: two AdamW states over the 508M-param student do not
-    # fit 16GB v5e HBM at fp32 (see make_optimizer docstring); nu stays fp32
-    mu_dtype = jnp.bfloat16 if not args.lower_only else None
-    tx = make_optimizer(1e-6, mu_dtype=mu_dtype)
+    # The bilevel mix holds TWO AdamW states over the 508M-param student;
+    # per-chip HBM (16GB v5e) sets the optimizer-state precision choices:
+    #   bf16  - both moments bf16, stochastic rounding (unbiased; see
+    #           training/optim.py) — 2.0GB/state, admits the largest batch
+    #   mixed - bf16 mu (deterministic) + fp32 nu — 3.05GB/state (28.97
+    #           samples/s at batch 8 measured)
+    #   fp32  - reference AdamW precision — 4.06GB/state; two states do not
+    #           leave room for any batch on one chip (use ZeRO-1 sharding on
+    #           a real mesh instead)
+    prec = "fp32" if args.lower_only else args.opt_precision
+    mu_dtype = jnp.bfloat16 if prec in ("bf16", "mixed") else None
+    nu_dtype = jnp.bfloat16 if prec == "bf16" else None
+    tx = make_optimizer(1e-6, mu_dtype=mu_dtype, nu_dtype=nu_dtype)
     step = make_finetune_step(student_mod, teacher_mod, vae, sched, loss_cfg, tx)
     # upper optimizer: reference bilevel config (unet_unlearning_learning_rate
     # 5e-6, configs/baselines/sd-2-1_coco_aptp_both_512_bilevel.yaml)
-    upper_tx = make_optimizer(5e-6, mu_dtype=mu_dtype)
+    upper_tx = make_optimizer(5e-6, mu_dtype=mu_dtype, nu_dtype=nu_dtype)
     upper_step = make_upper_step(student_mod, teacher_mod, vae, sched, loss_cfg, upper_tx)
 
     n_t = sum(x.size for x in jax.tree.leaves(teacher_params))
@@ -118,8 +127,20 @@ def run(args):
     (step, upper_step), (tx, upper_tx), student_params, teacher_params, vae_params, \
         resolution, seq, xdim = build(args)
 
-    # largest-first; first success wins (b16 = 29.0 samples/s, b8 = 27.0 measured)
-    batch_sizes = [args.batch_size] if args.batch_size else ([2] if args.smoke else [16, 8, 4])
+    # largest-first; first success wins. The bilevel mix holds two AdamW
+    # states over the 508M-param student: measured ceiling on one 16GB v5e
+    # chip is batch 8 (12/16 OOM), so don't waste a ~5-min compile on them.
+    # Lower-only (one state) fits batch 16 (round-1: 35.9 samples/s).
+    if args.batch_size:
+        batch_sizes = [args.batch_size]
+    elif args.smoke:
+        batch_sizes = [2]
+    elif args.lower_only:
+        batch_sizes = [16, 8, 4]
+    elif args.opt_precision == "bf16":
+        batch_sizes = [16, 8, 4]
+    else:
+        batch_sizes = [8, 4]  # mixed/fp32 two-state ceiling: 12/16 measured OOM
     rng = np.random.default_rng(1)
     best = None
     frozen_dtype = jnp.float32 if args.smoke else jnp.bfloat16
@@ -299,6 +320,11 @@ def main():
     p.add_argument("--remat", action=argparse.BooleanOptionalAction, default=True,
                    help="gradient checkpointing on the student (needed for the "
                         "two-optimizer bilevel mix to fit 16GB HBM)")
+    p.add_argument("--opt-precision", default="bf16",
+                   choices=["bf16", "mixed", "fp32"],
+                   help="bilevel optimizer-state precision: bf16 = both "
+                        "moments bf16 w/ stochastic rounding; mixed = bf16 "
+                        "mu + fp32 nu; fp32 = reference AdamW precision")
     p.add_argument("--lower-only", action="store_true",
                    help="measure the lower step alone (round-1 metric) instead "
                         "of the true 9-lower+1-upper bilevel cadence")

@@ -1,0 +1,70 @@
+"""Low-memory AdamW (bf16 moments + stochastic rounding) — the HBM knob
+that fits the bilevel mix's two optimizer states on a 16GB v5e chip."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from unlearn_ft_tpu.training.optim import (
+    _stochastic_round,
+    make_optimizer,
+    scale_by_adam_low_mem,
+)
+
+
+def test_low_mem_fp32_matches_optax_scale_by_adam():
+    params = {"w": jnp.asarray(np.random.default_rng(0).standard_normal((8, 4)),
+                               jnp.float32)}
+    a = scale_by_adam_low_mem(mu_dtype=jnp.float32, nu_dtype=jnp.float32)
+    b = optax.scale_by_adam()
+    sa, sb = a.init(params), b.init(params)
+    rng = np.random.default_rng(1)
+    for _ in range(5):
+        g = {"w": jnp.asarray(rng.standard_normal((8, 4)) * 0.1, jnp.float32)}
+        ua, sa = a.update(g, sa)
+        ub, sb = b.update(g, sb)
+        np.testing.assert_allclose(np.asarray(ua["w"]), np.asarray(ub["w"]),
+                                   rtol=1e-6, atol=1e-7)
+
+
+def test_stochastic_round_unbiased():
+    x = jnp.full((20000,), 1.00001e-4, jnp.float32)  # between bf16 grid points
+    r = _stochastic_round(x, jnp.bfloat16, jnp.uint32(7)).astype(jnp.float32)
+    vals = np.unique(np.asarray(r))
+    assert len(vals) == 2  # rounds to the two neighboring bf16 values
+    assert vals[0] < 1.00001e-4 < vals[1]
+    # unbiased: the mean matches the fp32 value far below bf16 resolution
+    assert abs(float(r.mean()) - 1.00001e-4) < 2e-8
+
+
+def test_bf16_nu_with_sr_tracks_fp32_nu():
+    """With b2=0.999 the per-step nu increment is ~1e-3 of its steady state —
+    below bf16's deterministic resolution (2^-8). Stochastic rounding keeps
+    the accumulation unbiased; nu must reach the fp32 steady state."""
+    g = {"w": jnp.full((64, 64), 1e-2, jnp.float32)}
+    params = {"w": jnp.zeros((64, 64), jnp.float32)}
+    lo = scale_by_adam_low_mem()  # bf16 mu+nu, SR
+    hi = optax.scale_by_adam()
+    s_lo, s_hi = lo.init(params), hi.init(params)
+    for _ in range(300):
+        _, s_lo = lo.update(g, s_lo)
+        _, s_hi = hi.update(g, s_hi)
+    nu_lo = float(jnp.mean(s_lo.nu["w"].astype(jnp.float32)))
+    nu_hi = float(jnp.mean(s_hi.nu["w"]))
+    assert nu_hi > 0
+    assert abs(nu_lo / nu_hi - 1.0) < 0.05, (nu_lo, nu_hi)
+    # state memory really is bf16
+    assert s_lo.nu["w"].dtype == jnp.bfloat16
+    assert s_lo.mu["w"].dtype == jnp.bfloat16
+
+
+def test_make_optimizer_nu_dtype_end_to_end():
+    params = {"w": jnp.ones((4, 4), jnp.float32)}
+    tx = make_optimizer(1e-3, weight_decay=0.01, mu_dtype=jnp.bfloat16,
+                        nu_dtype=jnp.bfloat16)
+    state = tx.init(params)
+    g = {"w": jnp.full((4, 4), 0.1, jnp.float32)}
+    updates, state = tx.update(g, state, params)
+    new = optax.apply_updates(params, updates)
+    assert jnp.isfinite(new["w"]).all()
+    assert not np.allclose(np.asarray(new["w"]), np.asarray(params["w"]))

@@ -129,6 +129,34 @@ def test_finetune_step_with_sharded_moments(setup):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
+def test_finetune_step_with_sharded_bf16_sr_moments(setup):
+    """The low-memory optimizer (bf16 moments + stochastic rounding) under
+    ZeRO-1 sharding: the rounding hash is indexed by *global* element
+    position, so the sharded update must equal the replicated one exactly."""
+    from unlearn_ft_tpu.parallel import shard_moments
+
+    cfg, spec, layout, unet, vae, sched, uparams, vparams, mesh, batch = setup
+    loss_cfg = LossConfig()
+    tx = make_optimizer(1e-4, warmup_steps=2, mu_dtype=jnp.bfloat16,
+                        nu_dtype=jnp.bfloat16)
+    step = make_finetune_step(unet, unet, vae, sched, loss_cfg, tx)
+    frozen = {"teacher": _fresh(uparams, mesh), "vae": _fresh(vparams, mesh)}
+
+    p_rep, o_rep, _ = step(
+        _fresh(uparams, mesh), _fresh(tx.init(uparams), mesh), frozen, batch,
+        jax.random.PRNGKey(7),
+    )
+    o_sh = shard_moments(jax.tree.map(jnp.copy, tx.init(uparams)), mesh)
+    p_sh, o_sh1, _ = step(
+        _fresh(uparams, mesh), o_sh, frozen, batch, jax.random.PRNGKey(7)
+    )
+    for a, b in zip(jax.tree.leaves(p_rep), jax.tree.leaves(p_sh)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    # moments really stored in bf16
+    leaves = [x for x in jax.tree.leaves(o_sh1) if hasattr(x, "dtype")]
+    assert any(x.dtype == jnp.bfloat16 for x in leaves)
+
+
 def test_pruner_step(setup):
     cfg, spec, layout, unet, vae, sched, uparams, vparams, mesh, batch = setup
     hn = HyperStructure(layout, input_dim=12)

@@ -126,6 +126,12 @@ class BaseTrainer:
     def make_tx(self, lr_key="prediction_model_learning_rate",
                 wd_key="prediction_model_weight_decay"):
         g = self.config.get_path
+        # training.optim.moment_dtype: fp32 (reference AdamW precision) or
+        # bf16 (half optimizer-state HBM; second moment uses stochastic
+        # rounding — optim.scale_by_adam_low_mem). bf16 is what fits the
+        # bilevel mix's two states at batch 16 on a 16GB v5e chip.
+        moment_dtype = g("training.optim.moment_dtype", "fp32")
+        low = str(moment_dtype).replace("bfloat16", "bf16") == "bf16"
         return make_optimizer(
             learning_rate=float(g(f"training.optim.{lr_key}", 1e-6)),
             weight_decay=float(g(f"training.optim.{wd_key}", 0.0) or 0.0),
@@ -136,6 +142,8 @@ class BaseTrainer:
             warmup_steps=int(g("training.optim.lr_warmup_steps", 0) or 0),
             total_steps=self.config.get_path("training.max_train_steps"),
             max_grad_norm=g("training.optim.max_grad_norm"),
+            mu_dtype=jnp.bfloat16 if low else None,
+            nu_dtype=jnp.bfloat16 if low else None,
         )
 
     # ---- shared model builders ----------------------------------------------
