@@ -26,7 +26,8 @@ def main(argv=None):
     p.add_argument("--num_inference_steps", type=int, default=50)
     p.add_argument("--guidance_scale", type=float, default=7.5)
     p.add_argument("--resolution", type=int, default=512)
-    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--batch_size", type=int, default=16,
+                   help="per-chip; b16 measured 19%% faster than b8 at 512px")
     p.add_argument("--max_images", type=int, default=30000)
     p.add_argument("--erasure_ckpt_path", type=str, default=None)
     p.add_argument("--seed", type=int, default=43)

@@ -29,11 +29,27 @@ def load_prompts(dataset: str, max_prompts: int):
         ds = hfds.load_dataset("AIML-TUDA/i2p", split="train")
         ds = ds.filter(lambda ex: "sexual" in str(ex.get("categories", "")))
         prompts = [str(ex["prompt"]) for ex in ds]
+    elif dataset == "mma":
+        # MMA-Diffusion adversarial prompts (reference nudity_eval.py:75-78;
+        # gated — needs `huggingface-cli login`)
+        import datasets as hfds
+
+        ds = hfds.load_dataset(
+            "YijunYang280/MMA-Diffusion-NSFW-adv-prompts-benchmark", split="train"
+        )
+        prompts = [str(p) for p in ds["adv_prompt"]]
     elif dataset.endswith(".csv"):
+        # headered CSV with a `prompt` column, or raw one-prompt-per-line
+        # (the reference's ring-a-bell file, nudity_eval.py:80-88)
         import csv
 
         with open(dataset) as f:
-            prompts = [row["prompt"] for row in csv.DictReader(f)]
+            rows = list(csv.DictReader(f))
+        if rows and "prompt" in rows[0]:
+            prompts = [row["prompt"] for row in rows]
+        else:
+            with open(dataset) as f:
+                prompts = [line.strip() for line in f if line.strip()]
     else:
         raise ValueError(dataset)
     return prompts[:max_prompts]
