@@ -216,14 +216,19 @@ def run(args):
                 params, opt_state, m = step(
                     params, opt_state, frozen, batch, jax.random.PRNGKey(i + 1)
                 )
-                _ = float(m["loss"])  # per-step sync: the params chain alone
-                # is not trustworthy as a barrier on this platform
                 if not args.lower_only and (i + 1) % freq == 0:
                     params, upper_opt_state, um = upper_step(
                         params, upper_opt_state, frozen, upper_batch,
                         jax.random.PRNGKey(10_000 + i),
                     )
-                    _ = float(um["upper_loss"])
+            # sync ONCE via a host value fetch of the LAST step's loss: it
+            # data-depends on every prior step through the donated params
+            # chain, so it is a complete barrier — while a per-step fetch
+            # would idle the device for a tunnel round trip every step
+            # (block_until_ready alone returns early on the axon platform).
+            _ = float(m["loss"])
+            if not args.lower_only:
+                _ = float(um["upper_loss"])
             dt = time.perf_counter() - t0
             sps = bs * n_steps / dt
             mode = "lower-only" if args.lower_only else f"bilevel (1 upper per {freq})"
@@ -313,7 +318,7 @@ def main():
     p.add_argument("--resolution", type=int, default=512)
     p.add_argument("--keep-ratio", type=float, default=0.55)
     p.add_argument("--batch-size", type=int, default=None)
-    p.add_argument("--steps", type=int, default=10)
+    p.add_argument("--steps", type=int, default=20)
     p.add_argument("--in-loop-vae", action="store_true",
                    help="encode pixels with the VAE inside the train step "
                         "(the reference's hot path; apples-to-apples mode)")

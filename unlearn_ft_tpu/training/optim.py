@@ -110,40 +110,31 @@ def scale_by_adam_low_mem(
         del params
         count = optax.safe_int32_increment(state.count)
         leaves, treedef = jax.tree.flatten(updates)
-        # distinct seed per (step, leaf, moment) for the rounding hash
-        seeds = [
-            count.astype(jnp.uint32) * jnp.uint32(0x9E3779B9)
-            + jnp.uint32(i * 2 + j + 1)
-            for i in range(len(leaves))
-            for j in range(2)
-        ]
-
-        def moment(g, m, decay, order):
-            return decay * m.astype(jnp.float32) + (1 - decay) * (
-                g.astype(jnp.float32) ** order
-            )
-
-        mu_f = [
-            moment(g, m, b1, 1)
-            for g, m in zip(leaves, jax.tree.leaves(state.mu))
-        ]
-        nu_f = [
-            moment(g, n, b2, 2)
-            for g, n in zip(leaves, jax.tree.leaves(state.nu))
-        ]
         bc1 = 1 - b1 ** count.astype(jnp.float32)
         bc2 = 1 - b2 ** count.astype(jnp.float32)
-        out = [
-            (m / bc1) / (jnp.sqrt(n / bc2) + eps) for m, n in zip(mu_f, nu_f)
-        ]
-        mu_s = [
-            _stochastic_round(m, mu_dtype, seeds[2 * i])
-            for i, m in enumerate(mu_f)
-        ]
-        nu_s = [
-            _stochastic_round(n, nu_dtype, seeds[2 * i + 1])
-            for i, n in enumerate(nu_f)
-        ]
+
+        # Leaves are processed in an optimization_barrier chain so XLA cannot
+        # schedule every leaf's fp32 moment temporaries concurrently — without
+        # it the update's transient HBM is ~3 fp32 copies of the WHOLE param
+        # tree (+6GB at 508M params), which is what OOMed the bilevel step at
+        # batch 12/16. The token returned by each barrier depends on the
+        # leaf's outputs; feeding it into the next leaf serializes them.
+        token = jnp.zeros((), jnp.float32)
+        out, mu_s, nu_s = [], [], []
+        for i, (g, m0, n0) in enumerate(
+            zip(leaves, jax.tree.leaves(state.mu), jax.tree.leaves(state.nu))
+        ):
+            g32 = g.astype(jnp.float32) + token  # token==0: pure dependency
+            m = b1 * m0.astype(jnp.float32) + (1 - b1) * g32
+            n = b2 * n0.astype(jnp.float32) + (1 - b2) * (g32 * g32)
+            o = (m / bc1) / (jnp.sqrt(n / bc2) + eps)
+            seed = count.astype(jnp.uint32) * jnp.uint32(0x9E3779B9)
+            ms = _stochastic_round(m, mu_dtype, seed + jnp.uint32(2 * i + 1))
+            ns = _stochastic_round(n, nu_dtype, seed + jnp.uint32(2 * i + 2))
+            o, ms, ns, token = jax.lax.optimization_barrier((o, ms, ns, token))
+            out.append(o)
+            mu_s.append(ms)
+            nu_s.append(ns)
         new_state = ScaleByAdamSRState(
             count,
             jax.tree.unflatten(treedef, mu_s),
