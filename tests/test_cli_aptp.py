@@ -1,0 +1,44 @@
+"""End-to-end drives of the aptp CLI entry points (scripts/aptp/*) on the
+tiny synthetic config — the same surface the reference exposes via
+`accelerate launch scripts/aptp/<script>.py --base_config_path ...`
+(scripts/aptp/finetune.py:19-45 upstream). Trainer internals are covered by
+test_trainer.py; these check the argparse -> YAML-merge -> trainer -> train
+wiring of each script."""
+import importlib.util
+import json
+import os
+
+import pytest
+
+SCRIPTS = os.path.join(os.path.dirname(__file__), "..", "scripts", "aptp")
+TINY_CFG = os.path.join(os.path.dirname(__file__), "..", "configs", "tests",
+                        "tiny_synthetic.yaml")
+
+
+def _load_cli(name):
+    spec = importlib.util.spec_from_file_location(
+        f"aptp_{name}", os.path.join(SCRIPTS, f"{name}.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.mark.parametrize("script", ["finetune", "bilevel_finetune", "prune"])
+def test_aptp_cli_end_to_end(script, tmp_path):
+    _load_cli(script).main([
+        "--base_config_path", TINY_CFG,
+        "--wandb_run_name", f"cli-{script}",
+    ])
+    # the tiny config's JSONL tracker wrote per-step metrics incl. a loss
+    base = "/tmp/unlearn_ft_tpu_test_logs"
+    runs = []
+    for root, _dirs, files in os.walk(base):
+        runs += [os.path.join(root, f) for f in files if f.endswith(".jsonl")]
+    assert runs, f"no JSONL logs under {base}"
+    latest = max(runs, key=os.path.getmtime)
+    with open(latest) as f:
+        records = [json.loads(line) for line in f if line.strip()]
+    assert records, latest
+    scalars = {k for r in records for k in r}
+    assert any("loss" in k for k in scalars), scalars
