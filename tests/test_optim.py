@@ -68,3 +68,48 @@ def test_make_optimizer_nu_dtype_end_to_end():
     new = optax.apply_updates(params, updates)
     assert jnp.isfinite(new["w"]).all()
     assert not np.allclose(np.asarray(new["w"]), np.asarray(params["w"]))
+
+
+def test_sr_optimizer_convergence_matches_fp32():
+    """A/B: 200 AdamW steps on a least-squares problem — bf16+SR moments must
+    reach ~the fp32 loss (the low-memory state is a drop-in for training)."""
+    rng = np.random.default_rng(3)
+    X = jnp.asarray(rng.standard_normal((64, 16)), jnp.float32)
+    y = jnp.asarray(rng.standard_normal((64,)), jnp.float32)
+
+    def loss_fn(w):
+        return jnp.mean((X @ w - y) ** 2)
+
+    def train(tx):
+        w = jnp.zeros((16,), jnp.float32)
+        state = tx.init(w)
+        for _ in range(200):
+            g = jax.grad(loss_fn)(w)
+            updates, state = tx.update(g, state, w)
+            w = optax.apply_updates(w, updates)
+        return float(loss_fn(w))
+
+    l_fp32 = train(make_optimizer(1e-2))
+    l_sr = train(make_optimizer(1e-2, mu_dtype=jnp.bfloat16, nu_dtype=jnp.bfloat16))
+    assert l_sr < l_fp32 * 1.15 + 1e-3, (l_sr, l_fp32)
+
+
+def test_sr_state_checkpoint_roundtrip(tmp_path):
+    """Orbax save/restore of the low-memory AdamW state (bf16 leaves inside
+    the ScaleByAdamSRState NamedTuple) — the trainer checkpoints opt_state
+    (training/finetune.py save_checkpoint)."""
+    from unlearn_ft_tpu.training.checkpoint import CheckpointManager
+
+    params = {"w": jnp.ones((8, 8), jnp.float32)}
+    tx = make_optimizer(1e-3, mu_dtype=jnp.bfloat16, nu_dtype=jnp.bfloat16)
+    state = tx.init(params)
+    g = {"w": jnp.full((8, 8), 0.1, jnp.float32)}
+    _, state = tx.update(g, state, params)
+
+    mgr = CheckpointManager(str(tmp_path))
+    mgr.save(1, {"opt_state": jax.device_get(state), "step": 1})
+    template = jax.device_get(tx.init(params))
+    restored = mgr.restore(1, {"opt_state": template, "step": 0})
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored["opt_state"])):
+        assert np.asarray(a).dtype == np.asarray(b).dtype
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
