@@ -58,7 +58,9 @@ def main(argv=None):
     for i in range(args.iterations):
         params, opt_state, loss = step(
             params, frozen, opt_state, concept, neutral, jax.random.PRNGKey(i),
-            latent_hw=64,
+            # latent grid tracks the expert's training resolution (the kernel
+            # default of 64 is only right for 512px checkpoints)
+            latent_hw=int(spec.sample_size),
         )
         if (i + 1) % 50 == 0:
             print(f"iter {i + 1}: loss={float(loss):.5f}", flush=True)

@@ -22,6 +22,27 @@ from typing import Callable, List, Optional, Sequence
 import numpy as np
 
 
+def params_fingerprint(tree) -> str:
+    """Cheap stable digest of a params pytree (or a dict of pytrees) for
+    cache keying: per leaf, path + shape + dtype + a strided value sample.
+    Mixing this into precompute-cache keys makes a model-root swap (or a
+    fine-tuned tower) under the same cache_dir recompute instead of silently
+    reusing stale embeddings."""
+    import jax
+
+    h = hashlib.sha1()
+    for path, leaf in sorted(
+        jax.tree_util.tree_leaves_with_path(tree), key=lambda kv: str(kv[0])
+    ):
+        arr = np.asarray(leaf)
+        h.update(str(path).encode())
+        h.update(str(arr.shape).encode() + str(arr.dtype).encode())
+        flat = arr.reshape(-1)
+        stride = max(1, flat.size // 1024)
+        h.update(np.ascontiguousarray(flat[::stride][:1024]).tobytes())
+    return h.hexdigest()[:16]
+
+
 def image_transform(
     resolution: int,
     center_crop: bool = False,
@@ -116,10 +137,11 @@ class LatentMomentsCache:
     view (LazyImages); only one encode batch is ever resident."""
 
     def __init__(self, encode_moments: Callable, cache_dir: Optional[str] = None,
-                 batch_size: int = 32):
+                 batch_size: int = 32, fingerprint: str = ""):
         self.encode_moments = encode_moments  # [B,H,W,3] -> (mean, logvar)
         self.cache_dir = cache_dir
         self.batch_size = batch_size
+        self.fingerprint = fingerprint  # model identity (params_fingerprint)
 
     def _chunks(self, images):
         n = len(images)
@@ -130,6 +152,10 @@ class LatentMomentsCache:
 
     def __call__(self, images, key: str = "latents"):
         if self.cache_dir:
+            if self.fingerprint:
+                key = hashlib.sha1(
+                    f"{self.fingerprint}\x00{key}".encode()
+                ).hexdigest()[:16]
             path = os.path.join(self.cache_dir, f"latent_moments_{key}.npy")
             if os.path.exists(path):
                 return np.load(path, mmap_mode="r")
@@ -143,11 +169,13 @@ class TextEmbeddingCache:
     caption list, cached as per-tower .npy memmaps keyed by content hash."""
 
     def __init__(self, encode_clip: Callable, encode_mpnet: Optional[Callable],
-                 cache_dir: Optional[str] = None, batch_size: int = 256):
+                 cache_dir: Optional[str] = None, batch_size: int = 256,
+                 fingerprint: str = ""):
         self.encode_clip = encode_clip
         self.encode_mpnet = encode_mpnet
         self.cache_dir = cache_dir
         self.batch_size = batch_size
+        self.fingerprint = fingerprint  # model identity (params_fingerprint)
 
     def _chunks(self, captions: List[str], encode: Callable):
         for i in range(0, len(captions), self.batch_size):
@@ -161,7 +189,9 @@ class TextEmbeddingCache:
         return np.concatenate(list(self._chunks(captions, encode)), 0)
 
     def __call__(self, captions: List[str]):
-        key = hashlib.sha1("\x00".join(captions).encode()).hexdigest()[:16]
+        key = hashlib.sha1(
+            (self.fingerprint + "\x00\x00" + "\x00".join(captions)).encode()
+        ).hexdigest()[:16]
         clip_path = mpnet_path = None
         if self.cache_dir:
             os.makedirs(self.cache_dir, exist_ok=True)

@@ -27,8 +27,23 @@ def create_mesh(num_devices: Optional[int] = None, axis_name: str = "dp") -> Mes
 
 
 def shard_batch(batch, mesh: Mesh, axis_name: str = "dp"):
-    """Shard every leaf's leading (batch) dimension across the mesh."""
+    """Shard every leaf's leading (batch) dimension across the mesh.
+
+    Multi-host contract: each process passes its OWN per-host shard of the
+    global batch (the loaders already shard records by jax.process_index,
+    DistributedSampler-style), and the leaves are assembled into one global
+    array via jax.make_array_from_process_local_data — a plain device_put of
+    host-local numpy onto a global NamedSharding would be wrong on a real
+    multi-host mesh. Single-process keeps the direct device_put fast path.
+    """
     sharding = NamedSharding(mesh, P(axis_name))
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)
+            ),
+            batch,
+        )
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
 
 

@@ -28,6 +28,13 @@ from .steps import make_finetune_step
 from .trainer import BaseTrainer, load_diffusers_unet, unet_config_from
 
 
+def resolve_num_workers(cfg_value) -> int:
+    """Collate-thread count from the YAML: an explicit 0 means serial
+    collate (the reference configs' in-process semantics, which our loader
+    expresses as 1 thread); unset means the 4-thread TPU-friendly default."""
+    return 4 if cfg_value is None else max(1, int(cfg_value))
+
+
 def load_quantizer_embeddings(pruning_ckpt_dir: str) -> np.ndarray:
     """Load the [n_e, dim] quantizer embedding_gs matrix from a pruning
     checkpoint — this framework's .npy or the reference's torch artifact
@@ -142,7 +149,9 @@ class FineTuneTrainer(BaseTrainer):
         # decode-heavy collates (PIL on the pixel path) overlap across threads;
         # reference leaves this at 0 workers in-process (SURVEY §3.5). The
         # synthetic collate shares one numpy Generator -> keep it single-thread.
-        workers = int(cfg.get_path("data.dataloader.dataloader_num_workers", 0) or 4)
+        workers = resolve_num_workers(
+            cfg.get_path("data.dataloader.dataloader_num_workers")
+        )
         if isinstance(ds, SyntheticDataset):
             workers = 1
         self.train_loader = DataLoader(
@@ -236,8 +245,11 @@ class FineTuneTrainer(BaseTrainer):
         from ..models.hypernet import HyperStructure
         from ..models.quantizer import QuantizerConfig
 
+        from ..data.preprocess import params_fingerprint
+
         cache = TextEmbeddingCache(encode_mpnet, None, cfg.get("cache_dir"),
-                                   batch_size=256)
+                                   batch_size=256,
+                                   fingerprint=params_fingerprint(self.mpnet_params))
         emb, _ = cache([r.caption for r in ds.records])
 
         hn = HyperStructure(self.layout, input_dim=emb.shape[1])
@@ -348,9 +360,12 @@ class FineTuneTrainer(BaseTrainer):
             )
             return mean, logvar
 
+        from ..data.preprocess import params_fingerprint
+
         cache = LatentMomentsCache(
             lambda imgs: encode_moments(jnp.asarray(imgs)),
             cache_dir=self.config.get("cache_dir") or self.logging_dir,
+            fingerprint=params_fingerprint(self.vae_params),
         )
         # images decode lazily inside the cache: one encode batch in RAM
         import hashlib
@@ -385,9 +400,14 @@ class FineTuneTrainer(BaseTrainer):
             ).input_ids
             return fwd(jnp.asarray(ids))
 
+        from ..data.preprocess import params_fingerprint
+
         cache = TextEmbeddingCache(
             encode_clip, self._mpnet_encoder(),
             cache_dir=self.config.get("cache_dir") or self.logging_dir,
+            fingerprint=params_fingerprint(
+                {"clip": self.text_params, "mpnet": self.mpnet_params or {}}
+            ),
         )
         prompt_embeds, mpnet = cache(list(captions))
         empty = np.asarray(encode_clip([""]))[0]

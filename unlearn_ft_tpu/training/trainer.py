@@ -255,12 +255,20 @@ class BaseTrainer:
         it = iter(self.train_loader.infinite())
         t0 = time.time()
         samples = 0
+        self._steps_this_run = 0
         while self.global_step < max_steps:
             batch = shard_batch(next(it), self.mesh)
             step_rng = jax.random.fold_in(self.rng, self.global_step)
             metrics = self.run_step(batch, step_rng)
             samples += int(cfg.get_path("data.dataloader.train_batch_size", 8))
             self.global_step += 1
+            if self._steps_this_run == 0:
+                # first step of this run paid the jit compile; restart the
+                # throughput window so logged samples/sec reflects steady state
+                jax.block_until_ready(metrics)
+                t0 = time.time()
+                samples = 0
+            self._steps_this_run += 1
 
             if self.global_step % int(cfg.get_path("training.log_steps", 10) or 10) == 0:
                 metrics = {k: v for k, v in metrics.items()}
