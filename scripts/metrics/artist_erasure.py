@@ -1,9 +1,15 @@
-"""Artist-style erasure benchmark (reference
-baselines/concept_prune/artist_erasure.py): generate images for per-artist
-prompt CSVs (Van Gogh / Monet / Picasso) with the unlearned checkpoint, then
-score style similarity. The reference uses the external CSD repo
-(README.md:162); here we report CLIP similarity to style anchor prompts as a
-built-in proxy and leave CSD hooks to the host environment.
+"""Artist-style erasure benchmark — ONE command from a checkpoint (+optional
+erasure overlay) to a style-similarity JSON.
+
+Parity with the reference driver (baselines/concept_prune/artist_erasure.py):
+load the per-artist prompt CSV (prompt + evaluation_seed +
+evaluation_guidance columns, datasets/test_{artist}.csv), generate one image
+per row with the unlearned checkpoint (:70-115, here on TPU through
+SDPipeline with optional ESD/UCE overlay and per-row latent seeds), then
+score style similarity. The reference defers to the external CSD repo
+(README.md:162); here CLIP similarity to style anchor prompts is the
+built-in proxy — point --clip_model at any local CLIP dir.
+``--image_dir`` alone scores an existing directory.
 """
 import argparse
 import csv
@@ -16,6 +22,17 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 import numpy as np
 
 
+def load_artist_csv(path: str):
+    """(prompts, seeds, guidance) from the reference's per-artist CSV layout
+    (ArtistDataset, artist_erasure.py:37-48)."""
+    with open(path) as f:
+        rows = list(csv.DictReader(f))
+    prompts = [r["prompt"] for r in rows]
+    seeds = [int(float(r.get("evaluation_seed", 0) or 0)) for r in rows]
+    guidance = [float(r.get("evaluation_guidance", 7.5) or 7.5) for r in rows]
+    return prompts, seeds, guidance
+
+
 def clip_style_similarity(image_dir: str, artist: str, clip_model: str):
     import torch
     from transformers import CLIPModel, CLIPProcessor
@@ -24,7 +41,7 @@ def clip_style_similarity(image_dir: str, artist: str, clip_model: str):
     proc = CLIPProcessor.from_pretrained(clip_model)
     anchor = f"a painting in the style of {artist}"
     with torch.no_grad():
-        t = proc(text=[anchor], return_tensors="pt", padding=True)
+        t = proc(text=[anchor], return_tensors="pt", padding=True, truncation=True)
         tf = model.get_text_features(**t)
         tf = tf / tf.norm(dim=-1, keepdim=True)
         sims = []
@@ -40,12 +57,57 @@ def clip_style_similarity(image_dir: str, artist: str, clip_model: str):
 
 def main(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("--image_dir", required=True)
+    p.add_argument("--image_dir", default=None,
+                   help="score an existing directory (skips generation)")
+    p.add_argument("--checkpoint_dir", default=None, help="checkpoint-N dir")
+    p.add_argument("--pretrained_root", default=None)
+    p.add_argument("--erasure_ckpt_path", default=None,
+                   help="ESD/UCE overlay (.npz or torch state dict)")
+    p.add_argument("--prompts_csv", default=None,
+                   help="per-artist CSV (prompt, evaluation_seed, "
+                        "evaluation_guidance columns)")
     p.add_argument("--artist", required=True, help="e.g. 'Van Gogh'")
+    p.add_argument("--max_prompts", type=int, default=1000)
+    p.add_argument("--save_dir", default=None)
+    p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--num_inference_steps", type=int, default=50)
+    p.add_argument("--resolution", type=int, default=512)
+    p.add_argument("--skip_scoring", action="store_true")
     p.add_argument("--clip_model", default="openai/clip-vit-base-patch32")
+    p.add_argument("--out", default=None, help="results JSON path")
     args = p.parse_args(argv)
-    sim, n = clip_style_similarity(args.image_dir, args.artist, args.clip_model)
-    print(json.dumps({"artist": args.artist, "style_similarity": sim, "images": n}))
+
+    image_dir = args.image_dir
+    if image_dir is None:
+        assert args.checkpoint_dir and args.pretrained_root and args.prompts_csv, (
+            "either --image_dir (score-only) or --checkpoint_dir + "
+            "--pretrained_root + --prompts_csv (generate then score)"
+        )
+        from unlearn_ft_tpu.eval_gen import build_expert_pipeline, generate_prompt_images
+
+        prompts, seeds, guidance = load_artist_csv(args.prompts_csv)
+        prompts, seeds = prompts[: args.max_prompts], seeds[: args.max_prompts]
+        image_dir = args.save_dir or os.path.join(
+            os.path.dirname(args.out) if args.out else ".", "artist_images"
+        )
+        _, pipe = build_expert_pipeline(
+            args.checkpoint_dir, args.pretrained_root, args.erasure_ckpt_path
+        )
+        generate_prompt_images(
+            pipe, prompts, image_dir, batch_size=args.batch_size,
+            num_inference_steps=args.num_inference_steps,
+            guidance_scale=guidance[0] if guidance else 7.5,
+            resolution=args.resolution, seeds=seeds,
+        )
+    if args.skip_scoring:
+        print(json.dumps({"image_dir": image_dir, "scored": False}))
+        return
+    sim, n = clip_style_similarity(image_dir, args.artist, args.clip_model)
+    result = {"artist": args.artist, "style_similarity": sim, "images": n}
+    print(json.dumps(result))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(result, f)
 
 
 if __name__ == "__main__":

@@ -34,37 +34,14 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     import jax
-    import jax.numpy as jnp
 
     from unlearn_ft_tpu.data.datasets import CocoCaptions
-    from unlearn_ft_tpu.loading import (
-        load_text_tower,
-        load_unet_from_checkpoint,
-        load_vae_tower,
+    from unlearn_ft_tpu.eval_gen import build_expert_pipeline
+
+    _, pipe = build_expert_pipeline(
+        args.checkpoint_dir, args.pretrained_root, args.erasure_ckpt_path,
+        scheduler_type="pndm",
     )
-    from unlearn_ft_tpu.pipelines import SDPipeline
-    from unlearn_ft_tpu.schedulers import DiffusionSchedule
-
-    # --- load expert (spec + params from the checkpoint dir) ---------------
-    spec, unet, unet_params, _ = load_unet_from_checkpoint(
-        args.checkpoint_dir, dtype=jnp.bfloat16
-    )
-
-    if args.erasure_ckpt_path:
-        # overlay an erasure state dict (ESD/UCE output; either torch names or
-        # this framework's npz of flax paths)
-        from unlearn_ft_tpu.baselines.overlay import apply_erasure_overlay
-
-        unet_params = apply_erasure_overlay(unet_params, spec, args.erasure_ckpt_path)
-
-    vae, vae_params = load_vae_tower(args.pretrained_root, dtype=jnp.bfloat16)
-    text_encoder, text_params, tokenizer = load_text_tower(
-        args.pretrained_root, dtype=jnp.bfloat16
-    )
-
-    sched = DiffusionSchedule()
-    pipe = SDPipeline(unet, unet_params, vae, vae_params, sched, scheduler_type="pndm",
-                      text_encoder=text_encoder, text_params=text_params, tokenizer=tokenizer)
 
     # --- captions, sharded across hosts -------------------------------------
     ds = CocoCaptions(args.coco_data_dir, split="val")

@@ -170,12 +170,16 @@ class SDPipeline:
         seed: int = 0,
         structure: Optional[Structure] = None,
         unet_params=None,
+        latents: Optional[jnp.ndarray] = None,
     ) -> np.ndarray:
         """Fixed-architecture sampling (generate_samples,
-        pruning_pipelines.py:867-1010; the FID-generation path)."""
+        pruning_pipelines.py:867-1010; the FID-generation path). Explicit
+        ``latents`` override the seed — used for per-prompt seeds (the artist
+        benchmark CSVs carry an evaluation_seed per row)."""
         b = prompt_embeds.shape[0]
         rng = jax.random.PRNGKey(seed)
-        latents = self.prepare_latents(b, height, width, rng)
+        if latents is None:
+            latents = self.prepare_latents(b, height, width, rng)
         context = jnp.concatenate([empty_prompt_embeds, prompt_embeds], axis=0)
         x, _ = self._denoise(
             unet_params if unet_params is not None else self.unet_params,

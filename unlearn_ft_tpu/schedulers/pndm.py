@@ -75,6 +75,10 @@ def pndm_step(
     num_inference_steps: int,
 ):
     """One PLMS step. Returns (prev_sample, new_state)."""
+    # scheduler math runs in the state dtype (fp32): a bf16 model output
+    # would otherwise make the lax.switch branches disagree (branch 0 passes
+    # it through raw; the multistep branches promote via the ets ring)
+    model_output = model_output.astype(state.ets.dtype)
     step_ratio = sched.num_train_timesteps // num_inference_steps
     counter = state.counter
     is_second = counter == 1
