@@ -58,14 +58,31 @@ def test_flux_pruning_trainer_runs():
     from unlearn_ft_tpu.training.flux_pruner import FluxPruningTrainer
 
     with tempfile.TemporaryDirectory() as tmp:
-        t = FluxPruningTrainer(_flux_config(tmp))
+        cfg = _flux_config(tmp)
+        # codebook observability (was a bare `pass` through round 2): the
+        # similarity heatmap lands on disk and every expert logs a hard
+        # resource ratio in (0, 1]
+        cfg.training.validation_steps = 2
+        t = FluxPruningTrainer(cfg)
         t.train()
+        import glob
         import json
 
         with open(os.path.join(tmp, "t", "metrics.jsonl")) as f:
             rows = [json.loads(l) for l in f]
-        assert rows and all(np.isfinite(r["loss"]) for r in rows)
-        assert "resource_ratio" in rows[-1]
+        assert rows and all(
+            np.isfinite(r["loss"]) for r in rows if "loss" in r
+        )
+        assert any("resource_ratio" in r for r in rows)
+        assert glob.glob(os.path.join(tmp, "t", "codebook_sim_*"))
+        ratio_rows = [r for r in rows if any(
+            k.startswith("expert_") and k.endswith("_resource_ratio") for k in r
+        )]
+        assert ratio_rows
+        ratio_keys = [k for k in ratio_rows[-1] if k.startswith("expert_") and
+                      k.endswith("_resource_ratio")]
+        assert len(ratio_keys) == 4  # n_e experts
+        assert all(0.0 < ratio_rows[-1][k] <= 1.0 + 1e-6 for k in ratio_keys)
 
 
 def test_flux_pipeline_sampling():

@@ -47,6 +47,109 @@ def build_expert_pipeline(
     return spec, pipe
 
 
+def load_pruning_pipeline(config, checkpoint_dir: str):
+    """PruningPipeline from a pruning checkpoint-N dir + the training YAML
+    (the config defines the gated U-Net / hypernet / quantizer shapes; the
+    checkpoint supplies the trained hypernet + codebook). Mirrors
+    PruningTrainer.init_models' model construction so analysis CLIs don't
+    need a full trainer (reference analogue: pruning_pipelines.py
+    from_pretrained swapping in the gated classes, :46-167)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import orbax.checkpoint as ocp
+
+    from .models import UNet2DConditionModel, build_unet_spec, gate_layout_for_config
+    from .models.hypernet import HyperStructure
+    from .models.quantizer import QuantizerConfig
+    from .pipelines import PruningPipeline
+    from .schedulers import DiffusionSchedule
+    from .training.trainer import BaseTrainer, load_diffusers_unet, unet_config_from
+    from .utils import macs as macs_lib
+
+    g = config.get_path
+    seed = int(config.get("seed", 43))
+    unet_cfg = unet_config_from(config)
+    spec = build_unet_spec(unet_cfg)
+    layout = gate_layout_for_config(unet_cfg)
+    unet = UNet2DConditionModel(spec)
+
+    root = str(config.get("pretrained_model_name_or_path", ""))
+    unet_dir = os.path.join(root, "unet")
+    if os.path.isdir(unet_dir):
+        unet_params = load_diffusers_unet(unet_dir, spec)
+    else:  # random-init runs (tests/smoke): same seed as the trainer
+        unet_params = unet.init(
+            jax.random.PRNGKey(seed),
+            jnp.zeros((1, unet_cfg.sample_size, unet_cfg.sample_size,
+                       unet_cfg.in_channels)),
+            jnp.array([0]), jnp.zeros((1, 7, unet_cfg.cross_attention_dim)),
+        )["params"]
+
+    # frozen towers via the trainer's own builder (unbound call on a holder)
+    class _Holder:
+        build_frozen_towers = BaseTrainer.build_frozen_towers
+        _load_mpnet = BaseTrainer._load_mpnet
+
+    h = _Holder()
+    h.config = config
+    h.dtype = jnp.float32
+    h.build_frozen_towers()
+
+    hypernet = HyperStructure(
+        layout,
+        input_dim=int(g("model.hypernet.input_dim", 768)),
+        wn_flag=bool(g("model.hypernet.weight_norm", True)),
+        linear_bias=bool(g("model.hypernet.linear_bias", False)),
+        single_arch_param=bool(g("model.hypernet.single_arch_param", False)),
+    )
+    qcfg = QuantizerConfig(
+        layout=layout,
+        n_e=int(g("model.quantizer.num_arch_vq_codebook_embeddings", 8)),
+        temperature=float(g("model.quantizer.quantizer_T", 0.4)),
+        base=float(g("model.quantizer.quantizer_base", 2.0)),
+        non_zero_width=bool(g("model.quantizer.non_zero_width", True)),
+        optimal_transport=bool(g("model.quantizer.optimal_transport", True)),
+        resource_aware_normalization=bool(
+            g("model.quantizer.resource_aware_normalization", True)
+        ),
+        depth_order=tuple(g("model.quantizer.depth_order"))
+        if g("model.quantizer.depth_order") else None,
+    )
+
+    tree = ocp.StandardCheckpointer().restore(
+        os.path.join(checkpoint_dir, "state")
+    )
+    trainable = tree["trainable"]
+    emb_gs_path = os.path.join(checkpoint_dir, "quantizer_embeddings.npy")
+    emb_gs = (
+        np.load(emb_gs_path) if os.path.exists(emb_gs_path)
+        else tree["qstate_embedding_gs"]
+    )
+    qstate = {"embedding_gs": jnp.asarray(emb_gs), "prunable_macs_template": None}
+    table = macs_lib.unet_macs(spec)
+    norm = table["prunable"]
+    qstate = qcfg.set_prunable_macs_template(
+        qstate, [[v / norm for v in sub] for sub in table["per_submodule_prunable"]]
+    )
+
+    tokenizer = None
+    if getattr(h, "text_params", None) is not None:
+        from transformers import CLIPTokenizer
+
+        tokenizer = CLIPTokenizer.from_pretrained(os.path.join(root, "tokenizer"))
+    return PruningPipeline(
+        unet, jax.tree.map(jnp.asarray, unet_params), h.vae, h.vae_params,
+        DiffusionSchedule(), scheduler_type="ddim",
+        text_encoder=h.text_encoder, text_params=h.text_params,
+        tokenizer=tokenizer,
+        hypernet=hypernet, hypernet_params=trainable["hypernet"],
+        quantizer_cfg=qcfg, quantizer_params=trainable["quantizer"],
+        quantizer_state=qstate, layout=layout,
+        mpnet=h.mpnet, mpnet_params=h.mpnet_params,
+    )
+
+
 def generate_prompt_images(
     pipe,
     prompts: Sequence[str],

@@ -323,7 +323,33 @@ class FluxPruningTrainer(PruningTrainer):
         )
 
     def validate(self):
-        pass  # SD-specific heatmaps don't apply; codebook logging TODO
+        """Codebook similarity heatmap + per-expert hard resource ratios
+        (the Flux counterpart of UnetPruner's validation logging; resource
+        ratios come from the analytic flux_macs tables)."""
+        emb_gs = np.asarray(jax.device_get(self.qstate["embedding_gs"]))
+        hard = (emb_gs >= 0.5).astype(np.float32)
+        self._log_codebook_similarity(hard)
+        ratios = self._expert_resource_ratios(hard)
+        self.tracker.log(
+            {f"expert_{e}_resource_ratio": r for e, r in enumerate(ratios)},
+            step=self.global_step,
+        )
+        logger.info("flux expert resource ratios: %s", [f"{r:.3f}" for r in ratios])
+
+    def _expert_resource_ratios(self, hard: np.ndarray):
+        table = fm.flux_macs(self.flux_cfg, self.l_img, self.l_txt)
+        full = float(fm.flux_calc_macs(
+            self.flux_cfg, self.layout, self.layout.ones(1), self.l_img, self.l_txt,
+            table,
+        )["cur_prunable"][0])
+        ratios = []
+        for e in range(hard.shape[0]):
+            s = self.layout.split(jnp.asarray(hard[e : e + 1]))
+            cur = float(fm.flux_calc_macs(
+                self.flux_cfg, self.layout, s, self.l_img, self.l_txt, table
+            )["cur_prunable"][0])
+            ratios.append(cur / full)
+        return ratios
 
     def run_step(self, batch, rng) -> Dict:
         self.trainable, self.opt_state, self.qstate, metrics = self.step_fn(

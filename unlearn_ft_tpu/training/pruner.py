@@ -156,38 +156,132 @@ class PruningTrainer(FineTuneTrainer):
 
     def validate(self):
         """Log quantizer codebook pairwise similarity + per-expert resource
-        ratios as heatmaps (reference trainer.py:1037-1068, 1411-1417)."""
-        import os
-
-        from ..utils.estimation import hard_concrete
-        from ..utils.logging_utils import create_heatmap
-
+        ratios as heatmaps (reference trainer.py:1037-1068, 1411-1417), plus
+        expert sample grids and routed samples when `data.prompts` is set
+        (generate_samples_from_prompts / log_quantizer_embedding_samples,
+        trainer.py:1375-1470)."""
         emb_gs = np.asarray(jax.device_get(self.qstate["embedding_gs"]))
         hard = (emb_gs >= 0.5).astype(np.float32)
+        self._log_codebook_similarity(hard)
+        ratios = self._expert_resource_ratios(hard)
+        self.tracker.log(
+            {f"expert_{e}_resource_ratio": r for e, r in enumerate(ratios)},
+            step=self.global_step,
+        )
+        logger.info("expert resource ratios: %s", [f"{r:.3f}" for r in ratios])
+        self.log_expert_samples()
+
+    def _log_codebook_similarity(self, hard: np.ndarray):
+        from ..utils.logging_utils import create_heatmap
+
         norm = hard / np.clip(np.linalg.norm(hard, axis=-1, keepdims=True), 1e-9, None)
         sim = norm @ norm.T
         create_heatmap(
             sim, os.path.join(self.logging_dir, f"codebook_sim_{self.global_step}"),
             "codebook pairwise similarity",
         )
-        # per-expert resource ratios
-        from ..utils import macs as macs_lib
 
+    def _expert_resource_ratios(self, hard: np.ndarray):
+        """Hard-thresholded per-expert MACs ratios (U-Net variant; the Flux
+        trainer overrides with flux_macs)."""
         table = macs_lib.unet_macs(self.full_spec)
         ones = self.layout.ones(1)
         full = float(macs_lib.calc_macs(self.full_spec, ones, static_table=table)[
             "cur_prunable"][0])
         ratios = []
-        for e in range(emb_gs.shape[0]):
+        for e in range(hard.shape[0]):
             s = self.layout.split(jnp.asarray(hard[e : e + 1]))
             cur = float(macs_lib.calc_macs(self.full_spec, s, static_table=table)[
                 "cur_prunable"][0])
             ratios.append(cur / full)
-        self.tracker.log(
-            {f"expert_{e}_resource_ratio": r for e, r in enumerate(ratios)},
-            step=self.global_step,
+        return ratios
+
+    def get_pipeline(self):
+        """PruningPipeline over the live (frozen U-Net, training hypernet/
+        quantizer) state — the reference's Trainer.get_pipeline
+        (trainer.py:653). Returns None when the text towers aren't loaded
+        (synthetic smoke runs). Cached: the jitted denoise loop compiles once
+        and later validations reuse it (only the routing params refresh)."""
+        if self.text_params is None:
+            return None
+        if self.full_spec.addition_embed_type == "text_time":
+            # SDXL sampling needs the added_cond path threaded through the
+            # pipeline's denoise loop — not wired yet
+            logger.warning("sample logging skipped: SDXL pipeline sampling unwired")
+            return None
+        if not hasattr(self, "_pipeline"):
+            from transformers import CLIPTokenizer
+
+            from ..pipelines import PruningPipeline
+
+            root = str(self.config.get("pretrained_model_name_or_path", ""))
+            try:
+                tokenizer = CLIPTokenizer.from_pretrained(os.path.join(root, "tokenizer"))
+            except Exception:
+                return None
+            self._pipeline = PruningPipeline(
+                self.unet, None, self.vae, self.vae_params, self.sched,
+                scheduler_type="ddim", text_encoder=self.text_encoder,
+                text_params=self.text_params, tokenizer=tokenizer,
+                hypernet=self.hypernet, quantizer_cfg=self.qcfg,
+                layout=self.layout, mpnet=self.mpnet,
+                mpnet_params=self.mpnet_params,
+            )
+        pipe = self._pipeline
+        # refresh the pieces that train
+        pipe.unet_params = self.frozen["unet"]
+        trainable = self.trainable
+        pipe.hypernet_params = trainable["hypernet"]
+        pipe.qparams = trainable["quantizer"]
+        pipe.qstate = self.qstate
+        return pipe
+
+    def log_expert_samples(self):
+        """Save (a) per-expert sample grids from the codebook architectures
+        and (b) hypernet-routed samples for `data.prompts` under the run dir
+        (reference trainer.py:1375-1470)."""
+        prompts = self.config.get_path("data.prompts")
+        if not prompts:
+            return
+        pipe = self.get_pipeline()
+        if pipe is None:
+            return
+        from PIL import Image
+
+        g = self.config.get_path
+        res = int(g("model.prediction_model.resolution", 512))
+        steps = int(g("training.num_inference_steps", 10))
+        out_dir = os.path.join(self.logging_dir, f"pruning-samples-{self.global_step}")
+        os.makedirs(out_dir, exist_ok=True)
+
+        pe = pipe.encode_prompts(list(prompts))
+        empty = pipe.encode_prompts([""] * len(prompts))
+        n_e = np.asarray(self.qstate["embedding_gs"]).shape[0]
+        max_e = int(g("training.logging.max_sample_experts", 4) or 4)
+        samples = pipe.quantizer_samples(
+            pe, empty, expert_ids=range(min(n_e, max_e)),
+            num_inference_steps=steps, height=res, width=res,
         )
-        logger.info("expert resource ratios: %s", [f"{r:.3f}" for r in ratios])
+        for e, imgs in samples.items():
+            for i, img in enumerate(np.asarray(imgs)):
+                Image.fromarray((img * 255).astype(np.uint8)).save(
+                    os.path.join(out_dir, f"expert{e}_{i}.png")
+                )
+        # routed samples need MPNet embeddings for the hypernet input
+        if self.mpnet_params is not None:
+            encode = self._mpnet_encoder()
+            emb = jnp.asarray(encode(list(prompts)))
+            images, idx, ratios = pipe(
+                emb, pe, empty, num_inference_steps=steps, height=res, width=res,
+            )
+            for i, img in enumerate(np.asarray(images)):
+                Image.fromarray((img * 255).astype(np.uint8)).save(
+                    os.path.join(out_dir, f"routed{i}_expert{int(idx[i])}.png")
+                )
+            self.tracker.log(
+                {"routed_resource_ratio": float(np.mean(ratios))}, step=self.global_step
+            )
+        logger.info("logged pruning sample images to %s", out_dir)
 
     def save_checkpoint(self):
         tree = {
