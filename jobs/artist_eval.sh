@@ -9,6 +9,7 @@ set -euo pipefail
 CKPT=${1:?checkpoint dir}; SD_DIR=${2:?sd dir}; CSV=${3:?prompts csv}
 ARTIST=${4:?artist name}; OUT=${5:?out dir}
 cd "$(dirname "$0")/.."
+export JAX_COMPILATION_CACHE_DIR="${JAX_COMPILATION_CACHE_DIR:-$PWD/.jax_cache}"
 mkdir -p "$OUT"
 python scripts/metrics/artist_erasure.py \
   --checkpoint_dir "$CKPT" --pretrained_root "$SD_DIR" \
