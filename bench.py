@@ -116,8 +116,28 @@ def build(args):
     n_s = sum(np.asarray(x).size for x in jax.tree.leaves(student_params))
     print(f"# teacher {n_t/1e6:.0f}M params, student {n_s/1e6:.0f}M ({100*n_s/n_t:.0f}%)",
           file=sys.stderr)
+
+    # analytic per-sample model FLOPs of the training mix, for MFU. MACs
+    # tables come from the same utils/macs.py the resource loss uses;
+    # FLOPs = 2*MACs; student backward = 2x forward (algorithmic MFU:
+    # remat recompute is NOT counted). Lower step: teacher fwd + student
+    # fwd/bwd; upper step (1 per 10 lower): 2B teacher fwd + student
+    # fwd/bwd. VAE excluded in the precomputed-latents path.
+    from unlearn_ft_tpu.utils import macs as macs_lib
+
+    t_macs = macs_lib.unet_macs(spec, seq_kv=seq)["total"]
+    s_macs = macs_lib.unet_macs(student_spec, seq_kv=seq)["total"]
+    lower_flops = 2.0 * (t_macs + 3.0 * s_macs)
+    upper_flops = 2.0 * (2.0 * t_macs + 3.0 * s_macs)
+    flops_per_sample = lower_flops + upper_flops / 10.0
+    if args.lower_only:
+        flops_per_sample = lower_flops
+    if args.in_loop_vae or args.smoke:
+        # in-loop VAE FLOPs aren't in the analytic tables; smoke shapes are
+        # not a 197-TFLOPs-peak device — either way MFU would mislead
+        flops_per_sample = None
     return (step, upper_step), (tx, upper_tx), student_params, teacher_params, vae_params, \
-        resolution, seq, xdim
+        resolution, seq, xdim, flops_per_sample
 
 
 def run(args):
@@ -125,12 +145,12 @@ def run(args):
     import jax.numpy as jnp
 
     (step, upper_step), (tx, upper_tx), student_params, teacher_params, vae_params, \
-        resolution, seq, xdim = build(args)
+        resolution, seq, xdim, flops_per_sample = build(args)
 
     # largest-first; first success wins. The bilevel mix holds two AdamW
     # states over the 508M-param student: measured ceiling on one 16GB v5e
-    # chip is batch 8 (12/16 OOM), so don't waste a ~5-min compile on them.
-    # Lower-only (one state) fits batch 16 (round-1: 35.9 samples/s).
+    # chip is batch 8 (12/16 OOM in round 2), so don't waste a ~5-min
+    # compile on them. Lower-only (one state) fits batch 16 (35.9 s/s r1).
     if args.batch_size:
         batch_sizes = [args.batch_size]
     elif args.smoke:
@@ -138,11 +158,14 @@ def run(args):
     elif args.lower_only:
         batch_sizes = [16, 8, 4]
     else:
-        # two-state bilevel ceiling on one 16GB chip: batch 8 (12/16 measured
-        # OOM even with bf16 moments — dual-executable warmup temps)
+        # two-state bilevel ceiling on one 16GB chip: batch 8. Batch 12
+        # re-probed in round 3 after the fused-upper-step change — still
+        # OOMs (the 2B=24 teacher forward peaks higher); pass
+        # --batch-size 12 to re-probe after memory work.
         batch_sizes = [8, 4]
     rng = np.random.default_rng(1)
     best = None
+    mfu = None
     frozen_dtype = jnp.float32 if args.smoke else jnp.bfloat16
 
     import ml_dtypes
@@ -237,6 +260,12 @@ def run(args):
                   file=sys.stderr)
             if best is None or sps > best:
                 best = sps
+                if flops_per_sample is not None:
+                    # v5e peak: 197 TFLOP/s bf16 (densified MXU)
+                    mfu = sps * flops_per_sample / 197e12
+                    print(f"# MFU {100*mfu:.1f}% "
+                          f"({flops_per_sample/1e12:.2f} TFLOPs/sample analytic)",
+                          file=sys.stderr)
             break  # largest-first: first fitting batch size is the answer
         except Exception as e:  # OOM at large batch: fall through to smaller
             print(f"# batch {bs} failed: {type(e).__name__}: {str(e)[:200]}", file=sys.stderr)
@@ -250,7 +279,7 @@ def run(args):
             continue
     if best is None:
         raise RuntimeError("all batch sizes failed")
-    return best
+    return best, mfu
 
 
 def run_gen(args):
@@ -362,13 +391,18 @@ def main():
         }))
         return
 
-    value = run(args)
-    print(json.dumps({
+    value, mfu = run(args)
+    out = {
         "metric": "bilevel_train_samples_per_sec_per_chip",
         "value": round(float(value), 4),
         "unit": "samples/sec/chip",
         "vs_baseline": round(float(value) / EST_REFERENCE_A100_SAMPLES_PER_SEC, 4),
-    }))
+    }
+    if mfu is not None:
+        # analytic-MACs-derived model FLOPs utilization vs 197 TFLOP/s
+        # bf16 peak (v5e); remat recompute not counted (algorithmic MFU)
+        out["mfu"] = round(float(mfu), 4)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -214,6 +214,12 @@ def test_sdxl_dual_tower_real_data(assets, tmp_path):
 
     cfg = _real_config(assets, tmp)
     cfg.pretrained_model_name_or_path = sdxl_root
+    # SDXL sample observability: validate() must generate per-expert images
+    # with the added_cond threaded through the denoise loop
+    cfg.training.validation_steps = 2
+    cfg.training.num_inference_steps = 2
+    cfg.data.merge({"prompts": ["a red cat"]})
+    cfg.training.logging.merge({"max_sample_experts": 1})
     xdim = te_cfg["hidden_size"] + te2_cfg["hidden_size"]
     cfg.model.text_encoder_config = te_cfg
     cfg.model.text_encoder_2_config = te2_cfg
@@ -259,6 +265,9 @@ def test_sdxl_dual_tower_real_data(assets, tmp_path):
     np.testing.assert_allclose(pooled, want, atol=2e-4)
 
     t.train()
+    sample_dirs = glob.glob(os.path.join(tmp, "t", "pruning-samples-*"))
+    assert sample_dirs, "SDXL validate() must write expert sample images"
+    assert any(f.startswith("expert0_") for f in os.listdir(sample_dirs[-1]))
 
 
 def test_flux_real_data_with_in_framework_towers(assets, tmp_path):
@@ -311,11 +320,12 @@ def test_flux_real_data_with_in_framework_towers(assets, tmp_path):
             "max_train_samples": 8,
             "flux_image_tokens": 16,  # res 16 / vae x2 = 8x8 latent -> 4x4 packed
             "flux_text_tokens": 5,
+            "prompts": ["a red cat"],
             "dataloader": {"train_batch_size": 2},
         },
         "training": {
             "max_train_steps": 2, "log_steps": 1, "checkpoint_steps": 0,
-            "validation_steps": 0,
+            "validation_steps": 2, "num_inference_steps": 2,
             "losses": {
                 "diffusion_loss": {"snr_gamma": None, "weight": 1.0},
                 "contrastive_loss": {"weight": 1.0},
@@ -359,3 +369,9 @@ def test_flux_real_data_with_in_framework_towers(assets, tmp_path):
     np.testing.assert_allclose(pe[0][m[0]], want[0][m[0]], atol=2e-4)
 
     t.train()
+    # Flux pruning observability: validate() wrote the codebook heatmap and
+    # per-expert sample images through FluxPipeline
+    assert glob.glob(os.path.join(tmp, "t", "codebook_sim_*"))
+    sample_dirs = glob.glob(os.path.join(tmp, "t", "pruning-samples-*"))
+    assert sample_dirs, "Flux validate() must write expert sample images"
+    assert any(f.startswith("expert0_") for f in os.listdir(sample_dirs[-1]))

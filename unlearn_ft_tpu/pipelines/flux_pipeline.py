@@ -93,7 +93,13 @@ class FluxPipeline:
         structure: Optional[Structure] = None,
     ):
         b = prompt_embeds.shape[0]
-        lat_h, lat_w = height // 8, width // 8
+        # pixel->latent factor from the attached VAE (8 for the production
+        # Flux VAE; tiny test VAEs downsample less)
+        f = (
+            2 ** (len(self.vae.cfg.block_out_channels) - 1)
+            if self.vae is not None else 8
+        )
+        lat_h, lat_w = height // f, width // f
         rng = jax.random.PRNGKey(seed)
         latents = jax.random.normal(
             rng, (b, lat_h, lat_w, self.flux.cfg.in_channels // 4), jnp.float32

@@ -84,13 +84,17 @@ class SDPipeline:
         guidance_scale: float,
         structure: Optional[Structure] = None,
         return_trajectory: bool = False,
+        added_cond: Optional[dict] = None,  # SDXL: 2B-shaped text_embeds/time_ids
     ):
         sched = self.sched
 
         def model(x, t):
             x_in = jnp.concatenate([x, x], axis=0)
             t_b = jnp.broadcast_to(t, (x_in.shape[0],))
-            out = self.unet.apply({"params": unet_params}, x_in, t_b, context, structure)
+            out = self.unet.apply(
+                {"params": unet_params}, x_in, t_b, context, structure,
+                added_cond=added_cond,
+            )
             uncond, cond = jnp.split(out, 2, axis=0)
             return uncond + guidance_scale * (cond - uncond)
 
@@ -171,11 +175,14 @@ class SDPipeline:
         structure: Optional[Structure] = None,
         unet_params=None,
         latents: Optional[jnp.ndarray] = None,
+        added_cond: Optional[dict] = None,
     ) -> np.ndarray:
         """Fixed-architecture sampling (generate_samples,
         pruning_pipelines.py:867-1010; the FID-generation path). Explicit
         ``latents`` override the seed — used for per-prompt seeds (the artist
-        benchmark CSVs carry an evaluation_seed per row)."""
+        benchmark CSVs carry an evaluation_seed per row). ``added_cond`` is
+        SDXL micro-conditioning, 2B-shaped like the CFG context ([uncond;
+        cond] — see sdxl_added_cond)."""
         b = prompt_embeds.shape[0]
         rng = jax.random.PRNGKey(seed)
         if latents is None:
@@ -184,13 +191,13 @@ class SDPipeline:
         x, _ = self._denoise(
             unet_params if unet_params is not None else self.unet_params,
             latents, context, rng, num_inference_steps, float(guidance_scale),
-            structure,
+            structure, added_cond=added_cond,
         )
         return np.asarray(self._decode(x))
 
     def sample_progressive(self, prompt_embeds, empty_prompt_embeds, num_inference_steps=50,
                            guidance_scale=7.5, height=512, width=512, seed=0,
-                           structure=None) -> np.ndarray:
+                           structure=None, added_cond=None) -> np.ndarray:
         """All intermediate decoded frames (pruning_pipelines.py:1014)."""
         b = prompt_embeds.shape[0]
         rng = jax.random.PRNGKey(seed)
@@ -199,8 +206,21 @@ class SDPipeline:
         _, traj = self._denoise(
             self.unet_params, latents, context, rng, num_inference_steps,
             float(guidance_scale), structure, return_trajectory=True,
+            added_cond=added_cond,
         )
         return np.stack([np.asarray(self._decode(t)) for t in traj])
+
+
+def sdxl_added_cond(pooled_uncond: jnp.ndarray, pooled_cond: jnp.ndarray,
+                    height: int, width: int) -> dict:
+    """SDXL micro-conditioning for the CFG-concatenated ([uncond; cond])
+    denoise batch: text_embeds = the pooled projections, time_ids =
+    (orig_h, orig_w, crop_top, crop_left, target_h, target_w) — the
+    diffusers defaults the reference inherits."""
+    text_embeds = jnp.concatenate([pooled_uncond, pooled_cond], axis=0)
+    ids = jnp.asarray([height, width, 0, 0, height, width], jnp.float32)
+    time_ids = jnp.broadcast_to(ids, (text_embeds.shape[0], 6))
+    return {"text_embeds": text_embeds, "time_ids": time_ids}
 
 
 class PruningPipeline(SDPipeline):

@@ -335,6 +335,54 @@ class FluxPruningTrainer(PruningTrainer):
             step=self.global_step,
         )
         logger.info("flux expert resource ratios: %s", [f"{r:.3f}" for r in ratios])
+        self.log_expert_samples()
+
+    def log_expert_samples(self):
+        """Per-expert Flux sample images for `data.prompts` (the Flux
+        counterpart of quantizer_samples; reference FluxPruningPipeline
+        routing, pruning_pipelines.py:1613-1914). Needs the in-framework
+        T5/CLIP towers + VAE — silently skipped on synthetic runs."""
+        prompts = self.config.get_path("data.prompts")
+        if (not prompts or self.t5_params is None or self.text_params is None
+                or self.vae_params is None):
+            return
+        import numpy as np
+        from PIL import Image
+
+        from ..pipelines import FluxPipeline
+        from ..utils.estimation import hard_concrete
+
+        pipe = FluxPipeline(
+            self.flux, self.frozen["flux"], self.fm_sched,
+            vae=self.vae, vae_params=self.vae_params,
+            hypernet=self.hypernet, hypernet_params=self.trainable["hypernet"],
+            quantizer_cfg=self.qcfg, quantizer_params=self.trainable["quantizer"],
+            quantizer_state=self.qstate, layout=self.layout,
+        )
+        g = self.config.get_path
+        steps = int(g("training.num_inference_steps", 4))
+        # pixel size consistent with the training token grid
+        side = int(2 * np.sqrt(self.l_img))
+        res = side * 2 ** (len(self.vae.cfg.block_out_channels) - 1)
+        pe, pooled = self._encode_flux_prompts(list(prompts))
+        out_dir = os.path.join(self.logging_dir, f"pruning-samples-{self.global_step}")
+        os.makedirs(out_dir, exist_ok=True)
+        emb_gs = self.qstate["embedding_gs"]
+        max_e = int(g("training.logging.max_sample_experts", 4) or 4)
+        for e in range(min(int(np.asarray(emb_gs).shape[0]), max_e)):
+            z = hard_concrete(jnp.asarray(emb_gs)[e : e + 1])
+            z = jnp.repeat(z, len(prompts), axis=0)
+            imgs, _ = pipe(
+                jnp.asarray(pe), jnp.asarray(pooled), height=res, width=res,
+                num_inference_steps=steps,
+                guidance_scale=float(g("model.prediction_model.guidance_scale", 3.5) or 3.5),
+                structure=self.layout.split(z),
+            )
+            for i, img in enumerate(np.asarray(imgs)):
+                Image.fromarray((img * 255).astype(np.uint8)).save(
+                    os.path.join(out_dir, f"expert{e}_{i}.png")
+                )
+        logger.info("logged Flux pruning sample images to %s", out_dir)
 
     def _expert_resource_ratios(self, hard: np.ndarray):
         table = fm.flux_macs(self.flux_cfg, self.l_img, self.l_txt)

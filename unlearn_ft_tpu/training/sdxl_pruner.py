@@ -186,6 +186,66 @@ class SDXLPruningTrainer(PruningTrainer):
 
         self.step_fn = step
 
+    def get_pipeline(self):
+        """SDXL-aware PruningPipeline (dual towers feed encode; the
+        added_cond rides through the denoise loop via sdxl_added_cond)."""
+        if self.text_params is None or self.text_params_2 is None:
+            return None
+        if not hasattr(self, "_pipeline"):
+            from ..pipelines import PruningPipeline
+
+            self._pipeline = PruningPipeline(
+                self.unet, None, self.vae, self.vae_params, self.sched,
+                scheduler_type="ddim", text_encoder=self.text_encoder,
+                text_params=self.text_params, tokenizer=None,
+                hypernet=self.hypernet, quantizer_cfg=self.qcfg,
+                layout=self.layout, mpnet=self.mpnet,
+                mpnet_params=self.mpnet_params,
+            )
+        pipe = self._pipeline
+        pipe.unet_params = self.frozen["unet"]
+        trainable = self.trainable
+        pipe.hypernet_params = trainable["hypernet"]
+        pipe.qparams = trainable["quantizer"]
+        pipe.qstate = self.qstate
+        return pipe
+
+    def log_expert_samples(self):
+        """Per-expert sample grids with the dual-tower context + pooled
+        micro-conditioning threaded through the gated SDXL U-Net."""
+        prompts = self.config.get_path("data.prompts")
+        if not prompts:
+            return
+        pipe = self.get_pipeline()
+        if pipe is None:
+            return
+        import numpy as np
+        from PIL import Image
+
+        from ..pipelines.sd_pipeline import sdxl_added_cond
+
+        g = self.config.get_path
+        res = int(g("model.prediction_model.resolution", 1024))
+        steps = int(g("training.num_inference_steps", 10))
+        out_dir = os.path.join(self.logging_dir, f"pruning-samples-{self.global_step}")
+        os.makedirs(out_dir, exist_ok=True)
+
+        pe, pooled = self._encode_sdxl_prompts(list(prompts))
+        epe, epooled = self._encode_sdxl_prompts([""] * len(prompts))
+        added = sdxl_added_cond(jnp.asarray(epooled), jnp.asarray(pooled), res, res)
+        n_e = np.asarray(self.qstate["embedding_gs"]).shape[0]
+        max_e = int(g("training.logging.max_sample_experts", 4) or 4)
+        samples = pipe.quantizer_samples(
+            jnp.asarray(pe), jnp.asarray(epe), expert_ids=range(min(n_e, max_e)),
+            num_inference_steps=steps, height=res, width=res, added_cond=added,
+        )
+        for e, imgs in samples.items():
+            for i, img in enumerate(np.asarray(imgs)):
+                Image.fromarray((img * 255).astype(np.uint8)).save(
+                    os.path.join(out_dir, f"expert{e}_{i}.png")
+                )
+        logger.info("logged SDXL pruning sample images to %s", out_dir)
+
     def _make_collate(self, ds, train: bool = True):
         base = super()._make_collate(ds, train=train)
         res = int(self.config.get_path("model.prediction_model.resolution", 512))

@@ -117,6 +117,9 @@ def make_finetune_step(
     """Returns step(params, opt_state, frozen, batch, rng) -> (params,
     opt_state, metrics). ``frozen`` = {'teacher':…, 'vae':…} param trees."""
     need_teacher = loss_cfg.distillation_weight > 0 or loss_cfg.block_weight > 0
+    need_acts = loss_cfg.block_weight > 0  # don't build the activation taps
+    # into the graph when the block loss is off — the sow outputs would
+    # otherwise rely on XLA DCE to stay free
 
     @partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, frozen, batch, rng):
@@ -126,17 +129,20 @@ def make_finetune_step(
         ctx = batch["prompt_embeds"]
 
         if need_teacher:
-            teacher_pred, teacher_acts = teacher.apply(
+            out = teacher.apply(
                 {"params": frozen["teacher"]}, noisy, timesteps, ctx,
-                return_block_activations=True,
+                return_block_activations=need_acts,
             )
+            teacher_pred, teacher_acts = out if need_acts else (out, None)
             teacher_pred = jax.lax.stop_gradient(teacher_pred)
             teacher_acts = jax.lax.stop_gradient(teacher_acts)
 
         def loss_fn(p):
-            pred, acts = student.apply(
-                {"params": p}, noisy, timesteps, ctx, return_block_activations=True
+            out = student.apply(
+                {"params": p}, noisy, timesteps, ctx,
+                return_block_activations=need_acts,
             )
+            pred, acts = out if need_acts else (out, None)
             d_loss = diffusion_loss(
                 pred, target, timesteps, sched.alphas_cumprod, loss_cfg.snr_gamma,
                 sched.prediction_type,
@@ -173,6 +179,8 @@ def make_upper_step(
     loss_cfg: LossConfig,
     upper_tx: optax.GradientTransformation,
 ):
+    need_acts = loss_cfg.upper_block_weight > 0
+
     @partial(jax.jit, donate_argnums=(0, 1))
     def step(params, upper_opt_state, frozen, batch, rng):
         k_vae, k_fwd = jax.random.split(rng)
@@ -180,21 +188,33 @@ def make_upper_step(
         noisy, timesteps, _ = _forward_process(sched, loss_cfg, latents, k_fwd)
         ctx = batch["prompt_embeds"]
         empty_ctx = batch["empty_prompt_embeds"]
+        b = noisy.shape[0]
 
-        teacher_cond, teacher_acts = teacher.apply(
-            {"params": frozen["teacher"]}, noisy, timesteps, ctx,
-            return_block_activations=True,
+        # ONE teacher dispatch at 2B ([cond; uncond] CFG-style concat) —
+        # two separate full forwards left ~2x teacher launch/pipeline cost
+        # on the table for a step that is 1/10 of the training mix
+        noisy2 = jnp.concatenate([noisy, noisy], axis=0)
+        t2 = jnp.concatenate([timesteps, timesteps], axis=0)
+        ctx2 = jnp.concatenate([ctx, empty_ctx], axis=0)
+        out = teacher.apply(
+            {"params": frozen["teacher"]}, noisy2, t2, ctx2,
+            return_block_activations=need_acts,
         )
-        teacher_uncond = teacher.apply(
-            {"params": frozen["teacher"]}, noisy, timesteps, empty_ctx
+        both, acts2 = out if need_acts else (out, None)
+        teacher_cond, teacher_uncond = jnp.split(both, 2, axis=0)
+        # block loss compares against the conditional half's activations
+        teacher_acts = (
+            jax.tree.map(lambda a: a[:b], acts2) if need_acts else None
         )
         esd_target = esd_negative_guidance_target(teacher_cond, teacher_uncond)
         teacher_acts = jax.lax.stop_gradient(teacher_acts)
 
         def loss_fn(p):
-            pred, acts = student.apply(
-                {"params": p}, noisy, timesteps, ctx, return_block_activations=True
+            out_s = student.apply(
+                {"params": p}, noisy, timesteps, ctx,
+                return_block_activations=need_acts,
             )
+            pred, acts = out_s if need_acts else (out_s, None)
             loss = jnp.asarray(0.0)
             dist = jnp.asarray(0.0)
             blk = jnp.asarray(0.0)
