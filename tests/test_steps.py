@@ -101,6 +101,49 @@ def test_upper_step(setup):
     assert float(m1["upper_distill_loss"]) > 0
 
 
+def test_upper_step_fusion_matches_separate_forwards(setup):
+    """The 2B CFG-style fused teacher dispatch must reproduce the math of
+    two separate cond/uncond forwards (reference upper_step,
+    trainer.py:2949-2998) — including the block loss against the
+    conditional half's activations."""
+    from unlearn_ft_tpu.losses import (
+        block_distillation_loss,
+        esd_negative_guidance_target,
+    )
+    from unlearn_ft_tpu.training.steps import _forward_process, _get_latents
+
+    cfg, spec, layout, unet, vae, sched, uparams, vparams, mesh, batch = setup
+    loss_cfg = LossConfig(upper_distillation_weight=1.0, upper_block_weight=0.5)
+    tx = make_optimizer(0.0)  # lr 0: params unchanged, metrics comparable
+    step = make_upper_step(unet, unet, vae, sched, loss_cfg, tx)
+    params = _fresh(uparams, mesh)
+    opt_state = _fresh(tx.init(uparams), mesh)
+    frozen = {"teacher": _fresh(uparams, mesh), "vae": _fresh(vparams, mesh)}
+    rng = jax.random.PRNGKey(7)
+    _, _, m = step(params, opt_state, frozen, batch, rng)
+
+    # reference computation with two separate teacher forwards
+    k_vae, k_fwd = jax.random.split(rng)
+    latents = _get_latents(vae, vparams, jax.device_get(batch), k_vae)
+    noisy, timesteps, _ = _forward_process(sched, loss_cfg, latents, k_fwd)
+    ctx = jnp.asarray(batch["prompt_embeds"])
+    empty = jnp.asarray(batch["empty_prompt_embeds"])
+    cond, cond_acts = unet.apply(
+        {"params": uparams}, noisy, timesteps, ctx, return_block_activations=True
+    )
+    uncond = unet.apply({"params": uparams}, noisy, timesteps, empty)
+    target = esd_negative_guidance_target(cond, uncond)
+    pred, acts = unet.apply(
+        {"params": uparams}, noisy, timesteps, ctx, return_block_activations=True
+    )
+    want_dist = jnp.mean((pred - target) ** 2)
+    want_blk = block_distillation_loss(acts, cond_acts)
+    np.testing.assert_allclose(float(m["upper_distill_loss"]), float(want_dist),
+                               rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(float(m["upper_block_loss"]), float(want_blk),
+                               rtol=2e-4, atol=1e-6)
+
+
 def test_finetune_step_with_sharded_moments(setup):
     """ZeRO-1 optimizer-state sharding: moments split over the dp axis, step
     result identical to the replicated layout (XLA inserts the collectives)."""
