@@ -36,10 +36,10 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     import jax.numpy as jnp
-    from PIL import Image
 
     from unlearn_ft_tpu.eval_gen import load_pruning_pipeline
     from unlearn_ft_tpu.utils.config import load_config
+    from unlearn_ft_tpu.utils.image_io import save_image
 
     config = load_config(args.base_config_path)
     for k in ("pretrained_model_name_or_path", "mpnet_model"):
@@ -68,9 +68,7 @@ def main(argv=None):
     summary = {"prompts": prompts}
 
     def save(img, name):
-        Image.fromarray((np.asarray(img) * 255).astype(np.uint8)).save(
-            os.path.join(args.out_dir, name)
-        )
+        save_image(img, os.path.join(args.out_dir, name))
 
     if args.mode in ("all", "experts"):
         n_e = np.asarray(pipe.qstate["embedding_gs"]).shape[0]

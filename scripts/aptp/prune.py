@@ -12,21 +12,7 @@ import sys, os
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 
-from unlearn_ft_tpu.utils.config import build_config
-
-
-def resolve_model_type(config) -> str:
-    g = config.get_path
-    mt = g("model.type")
-    if mt:
-        return str(mt)
-    if g("model.prediction_model.flux_config"):
-        return "flux"
-    unet_cfg = g("model.prediction_model.unet_config") or {}
-    if (unet_cfg.get("addition_embed_type") == "text_time"
-            or g("model.text_encoder_2_config")):
-        return "sdxl"
-    return "sd"
+from unlearn_ft_tpu.utils.config import build_config, resolve_model_type
 
 
 def main(argv=None):

@@ -86,19 +86,40 @@ def main(argv=None):
         from unlearn_ft_tpu.eval_gen import build_expert_pipeline, generate_prompt_images
 
         prompts, seeds, guidance = load_artist_csv(args.prompts_csv)
-        prompts, seeds = prompts[: args.max_prompts], seeds[: args.max_prompts]
+        prompts = prompts[: args.max_prompts]
+        seeds = seeds[: args.max_prompts]
+        guidance = guidance[: args.max_prompts]
         image_dir = args.save_dir or os.path.join(
             os.path.dirname(args.out) if args.out else ".", "artist_images"
         )
         _, pipe = build_expert_pipeline(
             args.checkpoint_dir, args.pretrained_root, args.erasure_ckpt_path
         )
-        generate_prompt_images(
-            pipe, prompts, image_dir, batch_size=args.batch_size,
-            num_inference_steps=args.num_inference_steps,
-            guidance_scale=guidance[0] if guidance else 7.5,
-            resolution=args.resolution, seeds=seeds,
-        )
+        # per-row evaluation_guidance, like the per-row evaluation_seed: the
+        # CFG scale is compile-time static, so rows group by guidance value
+        # (one compiled loop per distinct value) with filenames keyed by the
+        # original row index
+        by_guidance = {}
+        for i, gval in enumerate(guidance):
+            by_guidance.setdefault(gval, []).append(i)
+        for k, (gval, rows) in enumerate(sorted(by_guidance.items())):
+            generate_prompt_images(
+                pipe, [prompts[i] for i in rows], image_dir,
+                batch_size=args.batch_size,
+                num_inference_steps=args.num_inference_steps,
+                guidance_scale=gval, resolution=args.resolution,
+                seeds=[seeds[i] for i in rows],
+                prefix=f"g{k}_" if len(by_guidance) > 1 else "",
+                write_manifest=(len(by_guidance) == 1),
+            )
+        import jax
+
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices("artist_eval_generation_done")
+            if jax.process_index() != 0:
+                return
     if args.skip_scoring:
         print(json.dumps({"image_dir": image_dir, "scored": False}))
         return

@@ -108,6 +108,9 @@ def score_directory(image_dir: str, detector=None, threshold: float = 0.5) -> di
     for fn in sorted(os.listdir(image_dir)):
         if not fn.endswith((".png", ".npy", ".jpg")):
             continue
+        if fn.endswith(".npy.png"):
+            continue  # our own .npy->png conversions: re-scoring a .npy dir
+            # must not double-count them
         path = os.path.join(image_dir, fn)
         if fn.endswith(".npy"):
             from PIL import Image
@@ -180,6 +183,16 @@ def main(argv=None):
             guidance_scale=args.guidance_scale, resolution=args.resolution,
             seed=args.seed,
         )
+        import jax
+
+        if jax.process_count() > 1:
+            # all hosts must finish their generation shard before anyone
+            # scores the shared save_dir
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices("nudity_eval_generation_done")
+            if jax.process_index() != 0:
+                return
     if args.skip_scoring:
         print(json.dumps({"image_dir": image_dir, "scored": False}))
         return

@@ -115,6 +115,10 @@ def test_score_directory_npy_and_thresholds(tmp_path, stub_nudenet):
     np.save(tmp_path / "00000.npy", np.zeros((8, 8, 3), np.uint8))
     np.save(tmp_path / "00001.npy", np.zeros((8, 8, 3), np.uint8))
     result = ne.score_directory(str(tmp_path))
+    # re-scoring the same dir must not double-count via our own .npy->png
+    # conversions left behind by pass 1
+    again = ne.score_directory(str(tmp_path))
+    assert again == result
     assert result["images"] == 2
     assert result["stats_per_label"]["FEMALE_BREAST_EXPOSED"] == 2
     assert result["stats_per_label"]["BELLY_EXPOSED"] == 2  # v2 alias counted

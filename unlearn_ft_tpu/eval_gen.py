@@ -66,7 +66,15 @@ def load_pruning_pipeline(config, checkpoint_dir: str):
     from .schedulers import DiffusionSchedule
     from .training.trainer import BaseTrainer, load_diffusers_unet, unet_config_from
     from .utils import macs as macs_lib
+    from .utils.config import resolve_model_type
 
+    mt = resolve_model_type(config)
+    if mt != "sd":
+        raise NotImplementedError(
+            f"load_pruning_pipeline supports the SD family only (config is "
+            f"{mt!r}); SDXL/Flux expert samples are produced by the trainers' "
+            "validate() hooks (training/sdxl_pruner.py, flux_pruner.py)"
+        )
     g = config.get_path
     seed = int(config.get("seed", 43))
     unet_cfg = unet_config_from(config)
@@ -162,6 +170,7 @@ def generate_prompt_images(
     seeds: Optional[Sequence[int]] = None,
     prefix: str = "",
     skip_existing: bool = True,
+    write_manifest: bool = True,
 ) -> List[str]:
     """Generate one image per prompt into ``save_dir`` as
     ``{prefix}{index:05d}.png`` plus a ``prompts.json`` manifest
@@ -172,11 +181,12 @@ def generate_prompt_images(
     import jax
     import jax.numpy as jnp
     import numpy as np
-    from PIL import Image
+
+    from .utils.image_io import save_image
 
     os.makedirs(save_dir, exist_ok=True)
-    manifest_path = os.path.join(save_dir, "prompts.json")
-    if jax.process_index() == 0:
+    if write_manifest and jax.process_index() == 0:
+        manifest_path = os.path.join(save_dir, "prompts.json")
         with open(manifest_path, "w") as f:
             json.dump({i: p for i, p in enumerate(prompts)}, f, indent=0)
 
@@ -209,7 +219,7 @@ def generate_prompt_images(
             seed=seed + start, latents=latents,
         )
         for j, path in enumerate(paths):
-            Image.fromarray((np.asarray(imgs[j]) * 255).astype(np.uint8)).save(path)
+            save_image(imgs[j], path)
             written.append(path)
         print(f"[{jax.process_index()}] generated {start + len(chunk)}/{len(indices)}",
               flush=True)

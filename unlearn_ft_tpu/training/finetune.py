@@ -522,12 +522,10 @@ class FineTuneTrainer(BaseTrainer):
                                      seed=self.seed + self.global_step)
         out_dir = os.path.join(self.logging_dir, f"samples-{self.global_step}")
         os.makedirs(out_dir, exist_ok=True)
-        from PIL import Image
+        from ..utils.image_io import save_image
 
         for i, img in enumerate(imgs):
-            Image.fromarray((img * 255).astype(np.uint8)).save(
-                os.path.join(out_dir, f"{i}.png")
-            )
+            save_image(img, os.path.join(out_dir, f"{i}.png"))
         logger.info("logged %d sample images to %s", len(imgs), out_dir)
 
     # ---- checkpointing ----------------------------------------------------------

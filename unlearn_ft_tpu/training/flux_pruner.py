@@ -347,10 +347,10 @@ class FluxPruningTrainer(PruningTrainer):
                 or self.vae_params is None):
             return
         import numpy as np
-        from PIL import Image
 
         from ..pipelines import FluxPipeline
         from ..utils.estimation import hard_concrete
+        from ..utils.image_io import save_image
 
         pipe = FluxPipeline(
             self.flux, self.frozen["flux"], self.fm_sched,
@@ -361,8 +361,17 @@ class FluxPruningTrainer(PruningTrainer):
         )
         g = self.config.get_path
         steps = int(g("training.num_inference_steps", 4))
-        # pixel size consistent with the training token grid
-        side = int(2 * np.sqrt(self.l_img))
+        # pixel size consistent with the training token grid; only exact for
+        # square even grids (side latent pixels = 2 * sqrt(tokens))
+        import math
+
+        side = 2 * math.isqrt(self.l_img)
+        if side * side != 4 * self.l_img:
+            logger.warning(
+                "flux sample logging skipped: flux_image_tokens=%d is not a "
+                "square grid (pass square token counts to sample)", self.l_img,
+            )
+            return
         res = side * 2 ** (len(self.vae.cfg.block_out_channels) - 1)
         pe, pooled = self._encode_flux_prompts(list(prompts))
         out_dir = os.path.join(self.logging_dir, f"pruning-samples-{self.global_step}")
@@ -379,9 +388,7 @@ class FluxPruningTrainer(PruningTrainer):
                 structure=self.layout.split(z),
             )
             for i, img in enumerate(np.asarray(imgs)):
-                Image.fromarray((img * 255).astype(np.uint8)).save(
-                    os.path.join(out_dir, f"expert{e}_{i}.png")
-                )
+                save_image(img, os.path.join(out_dir, f"expert{e}_{i}.png"))
         logger.info("logged Flux pruning sample images to %s", out_dir)
 
     def _expert_resource_ratios(self, hard: np.ndarray):

@@ -196,38 +196,46 @@ class PruningTrainer(FineTuneTrainer):
             ratios.append(cur / full)
         return ratios
 
-    def get_pipeline(self):
-        """PruningPipeline over the live (frozen U-Net, training hypernet/
-        quantizer) state — the reference's Trainer.get_pipeline
-        (trainer.py:653). Returns None when the text towers aren't loaded
-        (synthetic smoke runs). Cached: the jitted denoise loop compiles once
-        and later validations reuse it (only the routing params refresh)."""
+    def _build_pipeline(self):
+        """Construct the family-specific PruningPipeline, or None when the
+        required towers aren't loaded (synthetic smoke runs). Subclasses
+        override this; get_pipeline handles caching + param refresh."""
         if self.text_params is None:
             return None
         if self.full_spec.addition_embed_type == "text_time":
-            # SDXL sampling needs the added_cond path threaded through the
-            # pipeline's denoise loop — not wired yet
-            logger.warning("sample logging skipped: SDXL pipeline sampling unwired")
+            # SDXL added_cond sampling lives in SDXLPruningTrainer; the base
+            # single-tower pipeline can't feed the micro-conditioning
+            logger.warning("sample logging skipped: use SDXLPruningTrainer for "
+                           "SDXL specs")
             return None
+        from transformers import CLIPTokenizer
+
+        from ..pipelines import PruningPipeline
+
+        root = str(self.config.get("pretrained_model_name_or_path", ""))
+        try:
+            tokenizer = CLIPTokenizer.from_pretrained(os.path.join(root, "tokenizer"))
+        except Exception:
+            return None
+        return PruningPipeline(
+            self.unet, None, self.vae, self.vae_params, self.sched,
+            scheduler_type="ddim", text_encoder=self.text_encoder,
+            text_params=self.text_params, tokenizer=tokenizer,
+            hypernet=self.hypernet, quantizer_cfg=self.qcfg,
+            layout=self.layout, mpnet=self.mpnet,
+            mpnet_params=self.mpnet_params,
+        )
+
+    def get_pipeline(self):
+        """PruningPipeline over the live (frozen U-Net, training hypernet/
+        quantizer) state — the reference's Trainer.get_pipeline
+        (trainer.py:653). Cached: the jitted denoise loop compiles once and
+        later validations reuse it (only the routing params refresh)."""
         if not hasattr(self, "_pipeline"):
-            from transformers import CLIPTokenizer
-
-            from ..pipelines import PruningPipeline
-
-            root = str(self.config.get("pretrained_model_name_or_path", ""))
-            try:
-                tokenizer = CLIPTokenizer.from_pretrained(os.path.join(root, "tokenizer"))
-            except Exception:
-                return None
-            self._pipeline = PruningPipeline(
-                self.unet, None, self.vae, self.vae_params, self.sched,
-                scheduler_type="ddim", text_encoder=self.text_encoder,
-                text_params=self.text_params, tokenizer=tokenizer,
-                hypernet=self.hypernet, quantizer_cfg=self.qcfg,
-                layout=self.layout, mpnet=self.mpnet,
-                mpnet_params=self.mpnet_params,
-            )
+            self._pipeline = self._build_pipeline()
         pipe = self._pipeline
+        if pipe is None:
+            return None
         # refresh the pieces that train
         pipe.unet_params = self.frozen["unet"]
         trainable = self.trainable
@@ -246,7 +254,7 @@ class PruningTrainer(FineTuneTrainer):
         pipe = self.get_pipeline()
         if pipe is None:
             return
-        from PIL import Image
+        from ..utils.image_io import save_image
 
         g = self.config.get_path
         res = int(g("model.prediction_model.resolution", 512))
@@ -264,9 +272,7 @@ class PruningTrainer(FineTuneTrainer):
         )
         for e, imgs in samples.items():
             for i, img in enumerate(np.asarray(imgs)):
-                Image.fromarray((img * 255).astype(np.uint8)).save(
-                    os.path.join(out_dir, f"expert{e}_{i}.png")
-                )
+                save_image(img, os.path.join(out_dir, f"expert{e}_{i}.png"))
         # routed samples need MPNet embeddings for the hypernet input
         if self.mpnet_params is not None:
             encode = self._mpnet_encoder()
@@ -275,9 +281,7 @@ class PruningTrainer(FineTuneTrainer):
                 emb, pe, empty, num_inference_steps=steps, height=res, width=res,
             )
             for i, img in enumerate(np.asarray(images)):
-                Image.fromarray((img * 255).astype(np.uint8)).save(
-                    os.path.join(out_dir, f"routed{i}_expert{int(idx[i])}.png")
-                )
+                save_image(img, os.path.join(out_dir, f"routed{i}_expert{int(idx[i])}.png"))
             self.tracker.log(
                 {"routed_resource_ratio": float(np.mean(ratios))}, step=self.global_step
             )

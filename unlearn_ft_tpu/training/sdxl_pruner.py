@@ -186,29 +186,21 @@ class SDXLPruningTrainer(PruningTrainer):
 
         self.step_fn = step
 
-    def get_pipeline(self):
+    def _build_pipeline(self):
         """SDXL-aware PruningPipeline (dual towers feed encode; the
         added_cond rides through the denoise loop via sdxl_added_cond)."""
         if self.text_params is None or self.text_params_2 is None:
             return None
-        if not hasattr(self, "_pipeline"):
-            from ..pipelines import PruningPipeline
+        from ..pipelines import PruningPipeline
 
-            self._pipeline = PruningPipeline(
-                self.unet, None, self.vae, self.vae_params, self.sched,
-                scheduler_type="ddim", text_encoder=self.text_encoder,
-                text_params=self.text_params, tokenizer=None,
-                hypernet=self.hypernet, quantizer_cfg=self.qcfg,
-                layout=self.layout, mpnet=self.mpnet,
-                mpnet_params=self.mpnet_params,
-            )
-        pipe = self._pipeline
-        pipe.unet_params = self.frozen["unet"]
-        trainable = self.trainable
-        pipe.hypernet_params = trainable["hypernet"]
-        pipe.qparams = trainable["quantizer"]
-        pipe.qstate = self.qstate
-        return pipe
+        return PruningPipeline(
+            self.unet, None, self.vae, self.vae_params, self.sched,
+            scheduler_type="ddim", text_encoder=self.text_encoder,
+            text_params=self.text_params, tokenizer=None,
+            hypernet=self.hypernet, quantizer_cfg=self.qcfg,
+            layout=self.layout, mpnet=self.mpnet,
+            mpnet_params=self.mpnet_params,
+        )
 
     def log_expert_samples(self):
         """Per-expert sample grids with the dual-tower context + pooled
@@ -220,9 +212,9 @@ class SDXLPruningTrainer(PruningTrainer):
         if pipe is None:
             return
         import numpy as np
-        from PIL import Image
 
         from ..pipelines.sd_pipeline import sdxl_added_cond
+        from ..utils.image_io import save_image
 
         g = self.config.get_path
         res = int(g("model.prediction_model.resolution", 1024))
@@ -241,9 +233,7 @@ class SDXLPruningTrainer(PruningTrainer):
         )
         for e, imgs in samples.items():
             for i, img in enumerate(np.asarray(imgs)):
-                Image.fromarray((img * 255).astype(np.uint8)).save(
-                    os.path.join(out_dir, f"expert{e}_{i}.png")
-                )
+                save_image(img, os.path.join(out_dir, f"expert{e}_{i}.png"))
         logger.info("logged SDXL pruning sample images to %s", out_dir)
 
     def _make_collate(self, ds, train: bool = True):

@@ -100,3 +100,20 @@ def build_config(argv: Optional[list] = None) -> Config:
     config = load_config(args.base_config_path)
     config.merge({k: v for k, v in vars(args).items()})
     return config
+
+
+def resolve_model_type(config) -> str:
+    """sd | sdxl | flux from `model.type`, inferred from the config shape
+    when absent: a `flux_config` block selects flux; an SDXL text_time
+    U-Net (or a second text-encoder config) selects sdxl."""
+    g = config.get_path
+    mt = g("model.type")
+    if mt:
+        return str(mt)
+    if g("model.prediction_model.flux_config"):
+        return "flux"
+    unet_cfg = g("model.prediction_model.unet_config") or {}
+    if (unet_cfg.get("addition_embed_type") == "text_time"
+            or g("model.text_encoder_2_config")):
+        return "sdxl"
+    return "sd"
