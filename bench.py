@@ -347,7 +347,8 @@ def main():
     p.add_argument("--resolution", type=int, default=512)
     p.add_argument("--keep-ratio", type=float, default=0.55)
     p.add_argument("--batch-size", type=int, default=None)
-    p.add_argument("--steps", type=int, default=20)
+    p.add_argument("--steps", type=int, default=40,
+                   help="timed steps; 40 keeps run-to-run variance ~0.5%%")
     p.add_argument("--in-loop-vae", action="store_true",
                    help="encode pixels with the VAE inside the train step "
                         "(the reference's hot path; apples-to-apples mode)")
