@@ -219,6 +219,82 @@ def test_artist_erasure_end_to_end(eval_env, tmp_path):
     assert -1.0 <= result["style_similarity"] <= 1.0
 
 
+def test_artist_per_row_guidance_groups(eval_env, tmp_path):
+    """Rows with different evaluation_guidance generate in separate groups
+    (CFG scale is compile-time static) with distinct filenames."""
+    clip_dir = str(tmp_path / "clip")
+    make_tiny_clip_classifier(clip_dir)
+    csv_path = tmp_path / "mixed.csv"
+    csv_path.write_text(
+        ",prompt,evaluation_seed,evaluation_guidance\n"
+        "0,first prompt,1,7.5\n"
+        "1,second prompt,2,9.0\n"
+    )
+    _load_cli("artist_erasure").main([
+        "--checkpoint_dir", eval_env["checkpoint_dir"],
+        "--pretrained_root", eval_env["sd_root"],
+        "--prompts_csv", str(csv_path),
+        "--artist", "someone",
+        "--save_dir", str(tmp_path / "imgs"),
+        "--batch_size", "1", "--num_inference_steps", "2",
+        "--resolution", "16",
+        "--clip_model", clip_dir,
+    ])
+    files = sorted(os.listdir(tmp_path / "imgs"))
+    assert "g0_00000.png" in files and "g1_00000.png" in files
+
+
+def test_load_prompts_i2p_and_mma_branches(monkeypatch):
+    """The HF-dataset branches, driven offline by stubbing datasets
+    .load_dataset: i2p filters to 'sexual' categories (reference
+    nudity_eval.py:71-74), mma reads adv_prompt."""
+    ne = _load_cli("nudity_eval")
+
+    class _FakeDS:
+        def __init__(self, rows):
+            self.rows = rows
+
+        def filter(self, fn):
+            return _FakeDS([r for r in self.rows if fn(r)])
+
+        def __iter__(self):
+            return iter(self.rows)
+
+        def __getitem__(self, key):  # column access (mma branch)
+            return [r[key] for r in self.rows]
+
+    def fake_load_dataset(name, split=None):
+        if "i2p" in name:
+            assert split == "train"
+            return _FakeDS([
+                {"prompt": "bad one", "categories": "sexual, violence"},
+                {"prompt": "fine one", "categories": "violence"},
+                {"prompt": "bad two", "categories": "sexual"},
+            ])
+        return _FakeDS([{"adv_prompt": "adv a"}, {"adv_prompt": "adv b"}])
+
+    fake_mod = types.ModuleType("datasets")
+    fake_mod.load_dataset = fake_load_dataset
+    monkeypatch.setitem(sys.modules, "datasets", fake_mod)
+    assert ne.load_prompts("i2p", 10) == ["bad one", "bad two"]
+    assert ne.load_prompts("i2p", 1) == ["bad one"]
+    assert ne.load_prompts("mma", 10) == ["adv a", "adv b"]
+
+
+def test_load_pruning_pipeline_rejects_non_sd():
+    """analyze.py's loader is SD-family only; SDXL/Flux configs must fail
+    with a pointer at the trainers' validate() hooks, not a shape error."""
+    from unlearn_ft_tpu.eval_gen import load_pruning_pipeline
+    from unlearn_ft_tpu.utils.config import load_config
+
+    for name in ("tiny_sdxl_synthetic.yaml", "tiny_flux_synthetic.yaml"):
+        cfg = load_config(os.path.join(
+            os.path.dirname(__file__), "..", "configs", "tests", name
+        ))
+        with pytest.raises(NotImplementedError, match="SD family"):
+            load_pruning_pipeline(cfg, "/nonexistent/checkpoint-0")
+
+
 def test_artist_csv_loader(tmp_path):
     ae = _load_cli("artist_erasure")
     csv_path = tmp_path / "a.csv"

@@ -27,11 +27,17 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarr
     qt = q.transpose(0, 2, 1, 3)
     kt = k.transpose(0, 2, 1, 3)
     vt = v.transpose(0, 2, 1, 3)
-    block = min(512, lq)
+    # measured on v5e at the U-Net's shapes (B8, H5/H10, D64): q-block 1024 /
+    # k-block 512 beats the uniform 512 by 7.9% fwd+bwd at L=4096 and 3% at
+    # L=1024 (larger q blocks amortize the kv streaming; 2048 q blocks
+    # exceed the Mosaic VMEM budget and fail to compile)
+    blk_q = min(1024, lq)
+    blk_k = min(512, lq)
     sizes = BlockSizes(
-        block_q=block, block_k_major=block, block_k=block, block_b=1,
-        block_q_major_dkv=block, block_k_major_dkv=block, block_k_dkv=block,
-        block_q_dkv=block, block_k_major_dq=block, block_k_dq=block, block_q_dq=block,
+        block_q=blk_q, block_k_major=blk_k, block_k=blk_k, block_b=1,
+        block_q_major_dkv=blk_q, block_k_major_dkv=blk_k, block_k_dkv=blk_k,
+        block_q_dkv=blk_q, block_k_major_dq=blk_k, block_k_dq=blk_k,
+        block_q_dq=blk_q,
     )
     out = pallas_flash(qt, kt, vt, causal=False, sm_scale=scale, block_sizes=sizes)
     return out.transpose(0, 2, 1, 3)
