@@ -80,7 +80,9 @@ def build(args):
     student_spec, student_params = materialize_pruned(spec, layout, teacher_params, arch)
     # remat: the bilevel mix holds TWO AdamW states (+~4GB at 508M params);
     # per-block rematerialization buys back the activation memory on v5e-16GB
-    student_mod = UNet2DConditionModel(student_spec, dtype=dtype, remat=args.remat)
+    student_mod = UNet2DConditionModel(
+        student_spec, dtype=dtype, remat=args.remat, remat_policy=args.remat_policy
+    )
 
     vae = AutoencoderKL(vae_cfg, dtype=dtype)
     v_shape = jax.eval_shape(
@@ -355,6 +357,11 @@ def main():
     p.add_argument("--remat", action=argparse.BooleanOptionalAction, default=True,
                    help="gradient checkpointing on the student (needed for the "
                         "two-optimizer bilevel mix to fit 16GB HBM)")
+    p.add_argument("--remat-policy", default=None,
+                   choices=[None, "dots", "hires"],
+                   help="what remat saves: None = replay whole blocks; dots = "
+                        "save matmul outputs; hires = remat only the two "
+                        "highest-resolution down/up levels")
     p.add_argument("--opt-precision", default="bf16",
                    choices=["bf16", "mixed", "fp32"],
                    help="bilevel optimizer-state precision: bf16 = both "

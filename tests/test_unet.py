@@ -135,6 +135,37 @@ def _zero_dead_norm2(spec, params, widths):
     return params
 
 
+@pytest.mark.parametrize("policy", [None, "dots", "hires"])
+def test_remat_policies_match_no_remat_gradients(setup, policy):
+    """remat only changes WHAT is saved for backward, never the math: loss
+    and gradients must match the un-rematted model bitwise-closely under
+    every policy (full replay / dots_saveable / hires-only)."""
+    _, spec, _, model, params, sample, ctx, t = setup
+    rem = UNet2DConditionModel(spec, remat=True, remat_policy=policy)
+
+    def loss_fn(m):
+        def f(p):
+            out = m.apply({"params": p}, sample, t, ctx)
+            return jnp.mean(out.astype(jnp.float32) ** 2)
+
+        return jax.jit(jax.value_and_grad(f))(params)
+
+    base_l, base_g = loss_fn(model)
+    rem_l, rem_g = loss_fn(rem)
+    np.testing.assert_allclose(float(rem_l), float(base_l), rtol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-5),
+        base_g, rem_g,
+    )
+
+
+def test_remat_policy_unknown_raises(setup):
+    _, spec, _, _, params, sample, ctx, t = setup
+    bad = UNet2DConditionModel(spec, remat=True, remat_policy="nope")
+    with pytest.raises(ValueError, match="remat_policy"):
+        bad.apply({"params": params}, sample, t, ctx)
+
+
 def test_pruned_is_smaller(setup):
     cfg, spec, layout, model, params, sample, ctx, t = setup
     arch = layout.random_arch_vector(0.5, seed=3)

@@ -17,6 +17,7 @@ from __future__ import annotations
 from typing import List, Optional, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ..utils.arch import Structure
@@ -252,11 +253,30 @@ class UNet2DConditionModel(nn.Module):
     remat: bool = False  # rematerialize per-block activations on backward
     # (replaces the reference's enable/disable of torch gradient_checkpointing,
     # trainer.py config training.gradient_checkpointing)
+    remat_policy: Optional[str] = None
+    # What remat saves vs recomputes (only read when remat=True):
+    #   None    - save nothing per block; backward replays the whole block
+    #             forward (~+1 student fwd of recompute FLOPs per step)
+    #   "dots"  - jax.checkpoint_policies.dots_saveable: matmul/attention
+    #             outputs are saved, only elementwise/norm/conv work replays
+    #   "hires" - full remat ONLY on the highest-resolution down/up blocks
+    #             (the big activations); inner blocks save everything
 
-    def _block(self, cls):
+    def _block(self, cls, hires: bool = False):
         if not self.remat:
             return cls
-        return nn.remat(cls, static_argnums=(), prevent_cse=False)
+        if self.remat_policy is None:
+            return nn.remat(cls, static_argnums=(), prevent_cse=False)
+        if self.remat_policy == "dots":
+            return nn.remat(
+                cls, static_argnums=(), prevent_cse=False,
+                policy=jax.checkpoint_policies.dots_saveable,
+            )
+        if self.remat_policy == "hires":
+            if not hires:
+                return cls
+            return nn.remat(cls, static_argnums=(), prevent_cse=False)
+        raise ValueError(f"unknown remat_policy {self.remat_policy!r}")
 
     def split_structure(self, structure: Optional[Structure]) -> List[Optional[Structure]]:
         if structure is None:
@@ -334,10 +354,11 @@ class UNet2DConditionModel(nn.Module):
         block_acts = {}
         res_stack: List[jnp.ndarray] = [h]
         bi = 0
-        down_cls = self._block(DownBlock2D)
         mid_cls = self._block(MidBlock2DCrossAttn)
-        up_cls = self._block(UpBlock2D)
         for i, block in enumerate(s.down):
+            # "hires" = the top two resolution levels, where activations
+            # dominate HBM (64x64 and 32x32 at 512px)
+            down_cls = self._block(DownBlock2D, hires=i < 2)
             h, outputs = down_cls(block, self.dtype, name=f"down_blocks_{i}")(
                 h, temb, encoder_hidden_states, per_block[bi]
             )
@@ -354,6 +375,7 @@ class UNet2DConditionModel(nn.Module):
         for i, block in enumerate(s.up):
             n = len(block.resnets)
             skips, res_stack = res_stack[-n:], res_stack[:-n]
+            up_cls = self._block(UpBlock2D, hires=i >= len(s.up) - 2)
             h = up_cls(block, self.dtype, name=f"up_blocks_{i}")(
                 h, list(skips), temb, encoder_hidden_states, per_block[bi]
             )

@@ -90,6 +90,7 @@ class FineTuneTrainer(BaseTrainer):
         self.student = UNet2DConditionModel(
             self.student_spec, dtype=self.dtype,
             remat=bool(self.config.get_path("training.gradient_checkpointing", False)),
+            remat_policy=self.config.get_path("training.remat_policy", None),
         )
 
         if cfg.get("random_init"):
@@ -610,8 +611,9 @@ class BaselineFineTuneTrainer(FineTuneTrainer):
             from ..models import UNet2DConditionModel
 
             self.student = UNet2DConditionModel(
-            self.student_spec, dtype=self.dtype,
-            remat=bool(self.config.get_path("training.gradient_checkpointing", False)),
-        )
+                self.student_spec, dtype=self.dtype,
+                remat=bool(self.config.get_path("training.gradient_checkpointing", False)),
+                remat_policy=self.config.get_path("training.remat_policy", None),
+            )
             self.params = _rep(jax.tree.map(np.copy, student_params), self.mesh)
             np.save(os.path.join(self.logging_dir, "arch_vector.npy"), arch)
