@@ -6,8 +6,11 @@ TPU-native paths:
 
 - ``xla``: einsum attention, letting XLA fuse; fp32 softmax when upcast
   (SD-2.1 sets upcast_attention=True).
-- ``flash``: Pallas fused flash-attention kernel (ops/flash_attention.py)
-  for the long self-attention sequences (4096 tokens at 512px).
+- ``splash``: Pallas splash-attention kernel (ops/splash_attention.py) for
+  the long self-attention sequences (4096 tokens at 512px) — the default;
+  its fused dq+dkv backward is ~29% faster than the legacy flash kernel.
+- ``flash``: legacy Pallas flash-attention kernel (ops/flash_attention.py),
+  kept as the fallback when splash cannot serve a shape.
 
 The interface is BLHD (batch, length, heads, head_dim).
 """
@@ -48,6 +51,10 @@ def dot_product_attention(
         and q.shape[-1] in (64, 128)
         and jax.default_backend() == "tpu"
     ):
+        if q.shape[1] % 512 == 0:  # splash blocks must tile the sequence
+            from .splash_attention import splash_attention
+
+            return splash_attention(q, k, v)
         from .flash_attention import flash_attention
 
         return flash_attention(q, k, v)
