@@ -24,8 +24,27 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops.attention import dot_product_attention
 from ..utils.arch import BlockGates, GateLayout, Structure, SubmoduleGates
 from .layers import broadcast_gate, expand_group_gate, timestep_embedding
+
+
+def _attention_bhld(q, k, v):
+    """[B, H, L, D] attention through the shared kernel dispatch.
+
+    Routes Flux's joint/single attention (seq = txt+img tokens, e.g. 1536 at
+    512px with T5-512) to the Pallas splash/flash kernels on TPU; the BLHD
+    transposes cancel against the wrappers' internal layout moves under XLA.
+    fp32 softmax matches the reference's upcast
+    (pdm/models/attention.py:170-176).
+    """
+    out = dot_product_attention(
+        q.transpose(0, 2, 1, 3),
+        k.transpose(0, 2, 1, 3),
+        v.transpose(0, 2, 1, 3),
+        upcast=True,
+    )
+    return out.transpose(0, 2, 1, 3)
 
 
 @dataclass(frozen=True)
@@ -187,9 +206,7 @@ class FluxJointAttention(nn.Module):
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
-        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(D).astype(q.dtype)
-        probs = jax.nn.softmax(scores.astype(jnp.float32), -1).astype(v.dtype)
-        out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+        out = _attention_bhld(q, k, v)
         out = out.transpose(0, 2, 1, 3).reshape(b, lt + li, H * D)
         ctx_out, hid_out = out[:, :lt], out[:, lt:]
         hid_out = nn.Dense(c.inner_dim, dtype=self.dtype, name="to_out_0")(hid_out)
@@ -287,9 +304,7 @@ class FluxSingleTransformerBlock(nn.Module):
         cos, sin = rope_cs
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
-        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(D).astype(q.dtype)
-        probs = jax.nn.softmax(scores.astype(jnp.float32), -1).astype(v.dtype)
-        attn = jnp.einsum("bhqk,bhkd->bhqd", probs, v).transpose(0, 2, 1, 3).reshape(b, l, H * D)
+        attn = _attention_bhld(q, k, v).transpose(0, 2, 1, 3).reshape(b, l, H * D)
         if ff_gate is not None:
             # the single-block shared ff_gate also masks the attention output
             # channel groups (transformer_flux.py:80)
