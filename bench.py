@@ -284,6 +284,151 @@ def run(args):
     return best, mfu
 
 
+def run_prune(args):
+    """Pruning-stage throughput: one hypernet+quantizer step over the frozen
+    gated U-Net (reference UnetPruner.step, trainer.py:1159-1321) at 512px.
+
+    The hot graph is teacher forward (gates=1) + gated student forward +
+    input-gradient backward (the U-Net is frozen, so no weight-grad matmuls —
+    the backward only chases the gate path) + Sinkhorn/contrastive/resource
+    losses + AdamW on the ~2M hypernet/quantizer params.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from unlearn_ft_tpu.models import (
+        UNet2DConditionModel, build_unet_spec, gate_layout_for_config, sd21_unet_config,
+    )
+    from unlearn_ft_tpu.models.hypernet import HyperStructure
+    from unlearn_ft_tpu.models.quantizer import QuantizerConfig
+    from unlearn_ft_tpu.models.vae import AutoencoderKL, VAEConfig
+    from unlearn_ft_tpu.schedulers import DiffusionSchedule
+    from unlearn_ft_tpu.training.optim import make_optimizer
+    from unlearn_ft_tpu.training.steps import LossConfig, make_pruner_step
+    from unlearn_ft_tpu.utils import macs as macs_lib
+
+    dtype = jnp.float32 if args.smoke else jnp.bfloat16
+    if args.smoke:
+        from unlearn_ft_tpu.models import UNetConfig
+
+        cfg = UNetConfig(
+            sample_size=8, block_out_channels=(16, 32), layers_per_block=2,
+            num_attention_heads=(2, 4), cross_attention_dim=16, norm_num_groups=4,
+            ff_gate_width=4, upcast_attention=False,
+            down_block_types=("CrossAttnDownBlock2DHalfGated", "DownBlock2DHalfGated"),
+            up_block_types=("UpBlock2DHalfGated", "CrossAttnUpBlock2DHalfGated"),
+        )
+        vae_cfg = VAEConfig(block_out_channels=(8, 16), layers_per_block=1, norm_num_groups=4)
+        resolution, seq, xdim = 16, 7, 16
+    else:
+        cfg = sd21_unet_config()
+        vae_cfg = VAEConfig()
+        resolution, seq, xdim = args.resolution, 77, 1024
+    spec = build_unet_spec(cfg)
+    layout = gate_layout_for_config(cfg)
+    unet = UNet2DConditionModel(spec, dtype=dtype, remat=args.remat)
+    rng = np.random.default_rng(0)
+    lat = resolution // 8 if not args.smoke else cfg.sample_size
+    u_shape = jax.eval_shape(
+        lambda k: unet.init(
+            k, jnp.zeros((1, lat, lat, cfg.in_channels), dtype),
+            jnp.zeros((1,), jnp.int32),
+            jnp.zeros((1, seq, xdim), dtype), layout.ones(1),
+        ), jax.random.PRNGKey(0),
+    )["params"]
+    unet_params = jax.tree.map(
+        lambda s: (rng.standard_normal(s.shape) * 0.02).astype(np.float32), u_shape
+    )
+    vae = AutoencoderKL(vae_cfg, dtype=dtype)
+    v_shape = jax.eval_shape(
+        lambda k: vae.init(k, jnp.zeros((1, resolution, resolution, 3), dtype), k),
+        jax.random.PRNGKey(0),
+    )["params"]
+    vae_params = jax.tree.map(
+        lambda s: (rng.standard_normal(s.shape) * 0.02).astype(np.float32), v_shape
+    )
+
+    hypernet = HyperStructure(layout, input_dim=768)
+    hparams = hypernet.init(jax.random.PRNGKey(2), jnp.zeros((1, 768)))["params"]
+    qcfg = QuantizerConfig(layout=layout, n_e=8)
+    qparams = qcfg.init_params(jax.random.PRNGKey(3))
+    qstate = qcfg.init_state(qparams)
+    table = macs_lib.unet_macs(spec, seq)
+    qstate = qcfg.set_prunable_macs_template(
+        qstate,
+        [[v / table["prunable"] for v in sub] for sub in table["per_submodule_prunable"]],
+    )
+
+    sched = DiffusionSchedule()
+    tx = make_optimizer(1e-3)  # reference hypernet_learning_rate
+    step = make_pruner_step(
+        unet, hypernet, qcfg, vae, layout, spec, sched, LossConfig(), tx, seq_kv=seq
+    )
+
+    import ml_dtypes
+
+    frozen_np = np.float32 if args.smoke else ml_dtypes.bfloat16
+    frozen = {
+        "unet": jax.device_put(jax.tree.map(lambda x: x.astype(frozen_np), unet_params)),
+        "vae": jax.device_put(jax.tree.map(lambda x: x.astype(frozen_np), vae_params)),
+    }
+    # teacher fwd + gated fwd + input-only backward (~1x fwd: frozen weights
+    # contribute no dW matmuls) -> ~3 full-U-Net forwards of model FLOPs
+    flops_per_sample = None if args.smoke else 2.0 * 3.0 * table["total"]
+    best = mfu = None
+    if args.batch_size:
+        batch_sizes = [args.batch_size]
+    elif args.smoke:
+        batch_sizes = [2]
+    else:
+        batch_sizes = [8, 4]
+    for bs in batch_sizes:
+        try:
+            trainable = jax.device_put({"hypernet": hparams, "quantizer": qparams})
+            opt_state = tx.init(trainable)
+            qs = jax.device_put(qstate)
+            batch = {
+                "latent_moments": jnp.asarray(
+                    rng.standard_normal((bs, lat, lat, 2 * cfg.in_channels)), jnp.float32
+                ),
+                "prompt_embeds": jnp.asarray(rng.standard_normal((bs, seq, xdim)), jnp.float32),
+                "mpnet_embeddings": jnp.asarray(rng.standard_normal((bs, 768)), jnp.float32),
+            }
+            print(f"# compiling pruner step at batch {bs}...", file=sys.stderr, flush=True)
+            tw = time.perf_counter()
+            trainable, opt_state, qs, m = step(
+                trainable, opt_state, qs, frozen, batch, jax.random.PRNGKey(0)
+            )
+            print(f"# compiled in {time.perf_counter()-tw:.1f}s "
+                  f"(loss {float(m['loss']):.4f})", file=sys.stderr, flush=True)
+            t0 = time.perf_counter()
+            for i in range(args.steps):
+                trainable, opt_state, qs, m = step(
+                    trainable, opt_state, qs, frozen, batch, jax.random.PRNGKey(i + 1)
+                )
+            _ = float(m["loss"])  # axon: host fetch is the only real barrier
+            dt = time.perf_counter() - t0
+            sps = bs * args.steps / dt
+            print(f"# batch {bs} pruning: {sps:.3f} samples/sec "
+                  f"({dt/args.steps*1e3:.1f} ms/step)", file=sys.stderr)
+            best = sps
+            if flops_per_sample is not None:
+                mfu = sps * flops_per_sample / 197e12
+                print(f"# MFU {100*mfu:.1f}% ({flops_per_sample/1e12:.2f} "
+                      f"TFLOPs/sample analytic)", file=sys.stderr)
+            break
+        except Exception as e:
+            print(f"# batch {bs} failed: {type(e).__name__}: {str(e)[:200]}", file=sys.stderr)
+            trainable = opt_state = qs = batch = None  # noqa: F841
+            import gc
+
+            gc.collect()
+            continue
+    if best is None:
+        raise RuntimeError("all batch sizes failed")
+    return best, mfu
+
+
 def run_gen(args):
     """512px generation throughput: 25-step DDIM CFG on the pruned expert."""
     import jax
@@ -346,6 +491,9 @@ def main():
     p.add_argument("--smoke", action="store_true", help="tiny shapes (CPU sanity)")
     p.add_argument("--gen", action="store_true",
                    help="measure 512px generation images/sec instead of training")
+    p.add_argument("--prune", action="store_true",
+                   help="measure the APTP pruning-stage step (hypernet+quantizer "
+                        "training over the frozen gated U-Net) instead")
     p.add_argument("--resolution", type=int, default=512)
     p.add_argument("--keep-ratio", type=float, default=0.55)
     p.add_argument("--batch-size", type=int, default=None)
@@ -388,6 +536,22 @@ def main():
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
+
+    if args.prune:
+        value, mfu = run_prune(args)
+        out = {
+            "metric": "prune_train_samples_per_sec_per_chip",
+            "value": round(float(value), 4),
+            "unit": "samples/sec/chip",
+            # same estimated torch-DDP A100 denominator as the bilevel metric:
+            # the reference pruning step is teacher fwd + gated fwd + tiny bwd,
+            # roughly the lower-step cost class (BASELINE.md publishes nothing)
+            "vs_baseline": round(float(value) / EST_REFERENCE_A100_SAMPLES_PER_SEC, 4),
+        }
+        if mfu is not None:
+            out["mfu"] = round(float(mfu), 4)
+        print(json.dumps(out))
+        return
 
     if args.gen:
         value = run_gen(args)

@@ -115,3 +115,33 @@ def test_flux_pruner_step(flux_setup):
                           jax.random.PRNGKey(6))
     assert np.isfinite(float(m["loss"]))
     assert 0 < float(m["resource_ratio"]) <= 1.2
+
+
+@pytest.mark.parametrize("policy", [None, "dots"])
+def test_flux_remat_matches_no_remat_gradients(flux_setup, policy):
+    """remat only changes WHAT is saved for backward, never the math
+    (same contract as models/unet.py's remat test)."""
+    cfg, layout, model, params, args = flux_setup
+    rem = GatedFluxTransformer2DModel(cfg, remat=True, remat_policy=policy)
+
+    def loss_fn(m):
+        def f(p):
+            out = m.apply({"params": p}, *args)
+            return jnp.mean(out.astype(jnp.float32) ** 2)
+
+        return jax.jit(jax.value_and_grad(f))(params)
+
+    base_l, base_g = loss_fn(model)
+    rem_l, rem_g = loss_fn(rem)
+    np.testing.assert_allclose(float(rem_l), float(base_l), rtol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-5),
+        base_g, rem_g,
+    )
+
+
+def test_flux_remat_policy_unknown_raises(flux_setup):
+    cfg, layout, model, params, args = flux_setup
+    bad = GatedFluxTransformer2DModel(cfg, remat=True, remat_policy="nope")
+    with pytest.raises(ValueError, match="remat_policy"):
+        bad.apply({"params": params}, *args)

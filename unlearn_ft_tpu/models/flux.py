@@ -320,6 +320,22 @@ class FluxSingleTransformerBlock(nn.Module):
 class GatedFluxTransformer2DModel(nn.Module):
     cfg: FluxConfig = FluxConfig()
     dtype: jnp.dtype = jnp.float32
+    remat: bool = False  # rematerialize per-block activations on backward
+    # (training.gradient_checkpointing, same contract as models/unet.py)
+    remat_policy: Optional[str] = None  # None = replay whole blocks;
+    # "dots" = save matmul/attention outputs (jax dots_saveable)
+
+    def _block(self, cls):
+        if not self.remat:
+            return cls
+        if self.remat_policy is None:
+            return nn.remat(cls, static_argnums=(), prevent_cse=False)
+        if self.remat_policy == "dots":
+            return nn.remat(
+                cls, static_argnums=(), prevent_cse=False,
+                policy=jax.checkpoint_policies.dots_saveable,
+            )
+        raise ValueError(f"unknown remat_policy {self.remat_policy!r}")
 
     @nn.compact
     def __call__(
@@ -355,14 +371,16 @@ class GatedFluxTransformer2DModel(nn.Module):
             del widths[:n]
             return out
 
+        JointBlock = self._block(FluxTransformerBlock)
+        SingleBlock = self._block(FluxSingleTransformerBlock)
         for i in range(c.num_layers):
-            hidden, context = FluxTransformerBlock(
+            hidden, context = JointBlock(
                 c, self.dtype, name=f"transformer_blocks_{i}"
             )(hidden, context, temb, rope_cs, pop(3))
 
         x = jnp.concatenate([context, hidden], axis=1)
         for i in range(c.num_single_layers):
-            x = FluxSingleTransformerBlock(
+            x = SingleBlock(
                 c, self.dtype, name=f"single_transformer_blocks_{i}"
             )(x, temb, rope_cs, pop(2))
         if widths is not None:

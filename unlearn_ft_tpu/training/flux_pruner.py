@@ -48,7 +48,11 @@ class FluxPruningTrainer(PruningTrainer):
             k: tuple(v) if isinstance(v, list) else v for k, v in fc.items()
         })
         self.layout = flux_gate_layout(self.flux_cfg)
-        self.flux = GatedFluxTransformer2DModel(self.flux_cfg, dtype=self.dtype)
+        self.flux = GatedFluxTransformer2DModel(
+            self.flux_cfg, dtype=self.dtype,
+            remat=bool(g("training.gradient_checkpointing", False)),
+            remat_policy=g("training.remat_policy", None),
+        )
         self.fm_sched = FlowMatchSchedule(
             shift=float(g("model.prediction_model.flow_shift", 1.0))
         )

@@ -31,7 +31,14 @@ class PruningTrainer(FineTuneTrainer):
         self.unet_cfg = unet_config_from(cfg)
         self.full_spec = build_unet_spec(self.unet_cfg)
         self.layout = gate_layout_for_config(self.unet_cfg)
-        self.unet = UNet2DConditionModel(self.full_spec, dtype=self.dtype)
+        self.unet = UNet2DConditionModel(
+            self.full_spec, dtype=self.dtype,
+            # same config keys as the fine-tune trainers; the 512px pruning
+            # step backs two full-U-Net graphs, so checkpointing is usually
+            # required on a 16GB chip
+            remat=bool(cfg.get_path("training.gradient_checkpointing", False)),
+            remat_policy=cfg.get_path("training.remat_policy", None),
+        )
         self.student = self.teacher = self.unet
         self.student_spec = self.full_spec
         self.arch_vector = None
