@@ -113,6 +113,14 @@ def build(args):
     # 5e-6, configs/baselines/sd-2-1_coco_aptp_both_512_bilevel.yaml)
     upper_tx = make_optimizer(5e-6, mu_dtype=mu_dtype, nu_dtype=nu_dtype)
     upper_step = make_upper_step(student_mod, teacher_mod, vae, sched, loss_cfg, upper_tx)
+    cadence_step = None
+    if getattr(args, "fused_cadence", False):
+        from unlearn_ft_tpu.training.steps import make_bilevel_cadence_step
+
+        cadence_step = make_bilevel_cadence_step(
+            student_mod, teacher_mod, vae, sched, loss_cfg, tx, upper_tx,
+            lower_per_upper=10,
+        )
 
     n_t = sum(x.size for x in jax.tree.leaves(teacher_params))
     n_s = sum(np.asarray(x).size for x in jax.tree.leaves(student_params))
@@ -138,16 +146,16 @@ def build(args):
         # in-loop VAE FLOPs aren't in the analytic tables; smoke shapes are
         # not a 197-TFLOPs-peak device — either way MFU would mislead
         flops_per_sample = None
-    return (step, upper_step), (tx, upper_tx), student_params, teacher_params, vae_params, \
-        resolution, seq, xdim, flops_per_sample
+    return (step, upper_step, cadence_step), (tx, upper_tx), student_params, \
+        teacher_params, vae_params, resolution, seq, xdim, flops_per_sample
 
 
 def run(args):
     import jax
     import jax.numpy as jnp
 
-    (step, upper_step), (tx, upper_tx), student_params, teacher_params, vae_params, \
-        resolution, seq, xdim, flops_per_sample = build(args)
+    (step, upper_step, cadence_step), (tx, upper_tx), student_params, teacher_params, \
+        vae_params, resolution, seq, xdim, flops_per_sample = build(args)
 
     # largest-first; first success wins. The bilevel mix holds two AdamW
     # states over the 508M-param student: measured ceiling on one 16GB v5e
@@ -214,6 +222,46 @@ def run(args):
                         rng.standard_normal((bs, seq, xdim)), jnp.float32
                     ),
                 }
+            if cadence_step is not None and not args.lower_only:
+                # fused mode: ONE dispatch per 10-lower+1-upper cadence
+                lower_batches = jax.tree.map(
+                    lambda x: jnp.broadcast_to(x, (10,) + x.shape), batch
+                )
+                upper_batch = dict(batch)
+                upper_batch["empty_prompt_embeds"] = jnp.zeros_like(batch["prompt_embeds"])
+                print(f"# compiling fused cadence at batch {bs}...", file=sys.stderr,
+                      flush=True)
+                tw = time.perf_counter()
+                upper_opt_state2 = upper_tx.init(params)
+                params, opt_state, upper_opt_state2, lm, um = cadence_step(
+                    params, opt_state, upper_opt_state2, frozen, lower_batches,
+                    upper_batch, jax.random.PRNGKey(0),
+                )
+                warm_loss = float(lm["loss"][-1])
+                print(f"# compiled in {time.perf_counter()-tw:.1f}s "
+                      f"(loss {warm_loss:.4f})", file=sys.stderr, flush=True)
+                n_cad = max(1, args.steps // 10)
+                t0 = time.perf_counter()
+                for i in range(n_cad):
+                    params, opt_state, upper_opt_state2, lm, um = cadence_step(
+                        params, opt_state, upper_opt_state2, frozen, lower_batches,
+                        upper_batch, jax.random.PRNGKey(i + 1),
+                    )
+                _ = float(lm["loss"][-1])  # single host fetch = full barrier
+                _ = float(um["upper_loss"])
+                dt = time.perf_counter() - t0
+                sps = bs * 10 * n_cad / dt
+                print(f"# batch {bs} fused bilevel cadence: {sps:.3f} samples/sec "
+                      f"({dt/(n_cad*10)*1e3:.1f} ms/lower-step incl. upper share)",
+                      file=sys.stderr)
+                if best is None or sps > best:
+                    best = sps
+                    if flops_per_sample is not None:
+                        mfu = sps * flops_per_sample / 197e12
+                        print(f"# MFU {100*mfu:.1f}% "
+                              f"({flops_per_sample/1e12:.2f} TFLOPs/sample analytic)",
+                              file=sys.stderr)
+                break
             # warmup/compile. NOTE: host value fetches (float()) are used as
             # the sync barrier — on the experimental axon platform,
             # block_until_ready returns before remote execution finishes.
@@ -275,6 +323,7 @@ def run(args):
             # params/opt-state references otherwise stay resident and turn a
             # batch-16 OOM into cascading OOMs at every smaller batch
             params = opt_state = upper_opt_state = batch = upper_batch = None  # noqa: F841
+            upper_opt_state2 = lower_batches = lm = um = None  # noqa: F841
             import gc
 
             gc.collect()
@@ -515,6 +564,10 @@ def main():
                    help="bilevel optimizer-state precision: bf16 = both "
                         "moments bf16 w/ stochastic rounding; mixed = bf16 "
                         "mu + fp32 nu; fp32 = reference AdamW precision")
+    p.add_argument("--fused-cadence", action="store_true",
+                   help="run the whole 10-lower+1-upper cadence as ONE jitted "
+                        "lax.scan program (one dispatch per cadence instead of "
+                        "eleven; removes the per-step host launch gap)")
     p.add_argument("--lower-only", action="store_true",
                    help="measure the lower step alone (round-1 metric) instead "
                         "of the true 9-lower+1-upper bilevel cadence")

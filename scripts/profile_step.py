@@ -135,7 +135,7 @@ def main():
         remat_policy=None, lower_only=False, opt_precision="bf16",
         in_loop_vae=False, precomputed_latents=True,
     )
-    (step, upper_step), (tx, upper_tx), student_params, teacher_params, vae_params, \
+    (step, upper_step, _cad), (tx, upper_tx), student_params, teacher_params, vae_params, \
         resolution, seq, xdim, _ = bench.build(bargs)
 
     import ml_dtypes

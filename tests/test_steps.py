@@ -231,3 +231,48 @@ def test_pruner_step(setup):
     assert not np.array_equal(np.asarray(before), np.asarray(after))
     # embedding_gs snapshot updated
     assert not np.array_equal(np.asarray(qs1["embedding_gs"]), np.asarray(qstate["embedding_gs"]))
+
+
+def test_fused_cadence_matches_sequential_steps(setup):
+    """The fused lax.scan cadence must be numerically the same schedule as
+    host-interleaved lower/upper steps with the same keys."""
+    from unlearn_ft_tpu.training.steps import make_bilevel_cadence_step
+
+    cfg, spec, layout, unet, vae, sched, uparams, vparams, mesh, batch = setup
+    loss_cfg = LossConfig()
+    tx = make_optimizer(1e-4)
+    upper_tx = make_optimizer(5e-6)
+    frozen = {"teacher": _fresh(uparams, mesh), "vae": _fresh(vparams, mesh)}
+    n_lower = 3
+    rng = jax.random.PRNGKey(7)
+    keys = jax.random.split(rng, n_lower + 1)
+
+    # sequential reference
+    lower = make_finetune_step(unet, unet, vae, sched, loss_cfg, tx)
+    upper = make_upper_step(unet, unet, vae, sched, loss_cfg, upper_tx)
+    p_seq = _fresh(uparams, mesh)
+    o_seq = _fresh(tx.init(uparams), mesh)
+    uo_seq = _fresh(upper_tx.init(uparams), mesh)
+    for i in range(n_lower):
+        p_seq, o_seq, _ = lower(p_seq, o_seq, frozen, batch, keys[i])
+    p_seq, uo_seq, um_seq = upper(p_seq, uo_seq, frozen, batch, keys[-1])
+
+    # fused
+    cadence = make_bilevel_cadence_step(
+        unet, unet, vae, sched, loss_cfg, tx, upper_tx, lower_per_upper=n_lower
+    )
+    stacked = jax.tree.map(lambda x: jnp.broadcast_to(x, (n_lower,) + x.shape), batch)
+    p_f, o_f, uo_f, lm, um = cadence(
+        _fresh(uparams, mesh), _fresh(tx.init(uparams), mesh),
+        _fresh(upper_tx.init(uparams), mesh), frozen, stacked, batch, rng,
+    )
+    assert lm["loss"].shape == (n_lower,)
+    np.testing.assert_allclose(
+        float(um["upper_loss"]), float(um_seq["upper_loss"]), rtol=1e-4, atol=1e-6
+    )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5, rtol=2e-5
+        ),
+        p_f, p_seq,
+    )

@@ -168,3 +168,24 @@ def test_finetune_from_reference_torch_checkpoint():
         torch.save(torch.tensor(emb), os.path.join(sub, "quantizer_embeddings.pt"))
         v2 = load_arch_vector_from_pruning_ckpt(os.path.join(tmp, "sub"), 3)
         np.testing.assert_allclose(v2[0], emb[3])
+
+
+def test_bilevel_trainer_fused_cadence():
+    """training.fused_cadence=true: each upper_step_freq window is one
+    dispatch; observable state at checkpoint boundaries is exact (partial
+    buffers are flushed with plain lower steps)."""
+    from unlearn_ft_tpu.training.bilevel import BilevelFineTuneTrainer
+
+    with tempfile.TemporaryDirectory() as tmp:
+        cfg = _config(tmp)
+        cfg.training.max_train_steps = 5  # 2 full windows + 1 buffered step
+        cfg.training.checkpoint_steps = 5
+        cfg.merge({"training": {"fused_cadence": True}})
+        t = BilevelFineTuneTrainer(cfg)
+        t.train()
+        assert t._buffer == []  # final save_checkpoint flushed the tail
+        assert t.ckpt.latest_step() == 5
+        rows = _read_metrics(tmp)
+        upper_rows = [r for r in rows if "upper_loss" in r]
+        assert upper_rows and all(np.isfinite(r["upper_loss"]) for r in upper_rows)
+        assert any("loss" in r and np.isfinite(r["loss"]) for r in rows)

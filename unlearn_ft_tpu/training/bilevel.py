@@ -19,7 +19,7 @@ from ..data.datasets import HFDataset, SyntheticDataset
 from ..parallel import replicate, shard_batch
 from ..utils.logging_utils import logger
 from .finetune import FineTuneTrainer
-from .steps import make_upper_step
+from .steps import make_bilevel_cadence_step, make_upper_step
 
 
 class BilevelFineTuneTrainer(FineTuneTrainer):
@@ -65,6 +65,17 @@ class BilevelFineTuneTrainer(FineTuneTrainer):
         self.upper_step_fn = make_upper_step(
             self.student, self.teacher, self.vae, self.sched, self.loss_cfg, self.upper_tx
         )
+        # opt-in fused cadence: the whole upper_step_freq-lower+1-upper window
+        # is ONE lax.scan program — one device dispatch per window instead of
+        # freq+1 (removes the per-step host launch gap; see
+        # steps.make_bilevel_cadence_step). DreamBooth keeps its own path.
+        self._fused = bool(self.config.get_path("training.fused_cadence", False))
+        if self._fused:
+            freq = int(self.config.get_path("training.upper_step_freq", 10) or 10)
+            self.cadence_fn = make_bilevel_cadence_step(
+                self.student, self.teacher, self.vae, self.sched, self.loss_cfg,
+                self.tx, self.upper_tx, lower_per_upper=freq,
+            )
 
     def train(self):
         # wrap run_step with the upper-step cadence (trainer.py:2793-2816)
@@ -72,9 +83,21 @@ class BilevelFineTuneTrainer(FineTuneTrainer):
             self.config.get_path("training.upper_step_freq", 10) or 10
         )
         self._upper_it = iter(self.upper_loader.infinite())
+        self._buffer = []
+        self._last_metrics: Dict = {}
         super().train()
 
     def run_step(self, batch, rng) -> Dict:
+        if getattr(self, "_fused", False):
+            # buffer lower batches; dispatch once per cadence window. The
+            # params/opt-states lag by up to freq-1 steps between flushes —
+            # validate()/save_checkpoint() flush first so observable state is
+            # always exact.
+            self._buffer.append(batch)
+            self._flush_rng = rng
+            if len(self._buffer) == self.upper_step_freq:
+                self._flush_pending()
+            return dict(self._last_metrics)
         metrics = super().run_step(batch, rng)
         if (self.global_step + 1) % self.upper_step_freq == 0:
             upper_batch = shard_batch(next(self._upper_it), self.mesh)
@@ -85,7 +108,37 @@ class BilevelFineTuneTrainer(FineTuneTrainer):
             metrics = {**metrics, **upper_metrics}
         return metrics
 
+    def _flush_pending(self):
+        """Apply buffered lower batches. A full buffer runs the fused cadence
+        (freq lowers + 1 upper in one dispatch); a partial one (only at a
+        validate/checkpoint boundary) replays the plain lower step."""
+        if not getattr(self, "_buffer", None):
+            return
+        import jax.numpy as jnp
+
+        if len(self._buffer) == self.upper_step_freq:
+            stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *self._buffer)
+            upper_batch = shard_batch(next(self._upper_it), self.mesh)
+            (self.params, self.opt_state, self.upper_opt_state, lm, um) = self.cadence_fn(
+                self.params, self.opt_state, self.upper_opt_state, self.frozen,
+                stacked, upper_batch, self._flush_rng,
+            )
+            self._last_metrics = {k: v[-1] for k, v in lm.items()}
+            self._last_metrics.update(um)
+        else:
+            for i, b in enumerate(self._buffer):
+                self.params, self.opt_state, self._last_metrics = self.step_fn(
+                    self.params, self.opt_state, self.frozen, b,
+                    jax.random.fold_in(self._flush_rng, i),
+                )
+        self._buffer = []
+
+    def validate(self):
+        self._flush_pending()
+        super().validate()
+
     def save_checkpoint(self):
+        self._flush_pending()
         tree = {
             "params": jax.device_get(self.params),
             "opt_state": jax.device_get(self.opt_state),
