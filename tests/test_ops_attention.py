@@ -3,8 +3,9 @@
 The Pallas kernels (splash/flash) only run on TPU; here the splash wrapper
 is exercised through the Pallas interpreter at the smallest routed shape,
 against the XLA reference the dispatch falls back to. On-chip numerics of
-the real kernels are verified in the bench/verify flow (maxerr < 2e-3 at
-L in {512, 1024, 4096}, fwd and grad).
+the real kernels are verified by scripts/verify_kernels.py (fwd and grad
+within 2 bf16 ulps of the fp32-softmax XLA reference at L in
+{512, 1024, 4096}).
 """
 import jax
 import jax.numpy as jnp
