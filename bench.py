@@ -232,9 +232,8 @@ def run(args):
                 print(f"# compiling fused cadence at batch {bs}...", file=sys.stderr,
                       flush=True)
                 tw = time.perf_counter()
-                upper_opt_state2 = upper_tx.init(params)
-                params, opt_state, upper_opt_state2, lm, um = cadence_step(
-                    params, opt_state, upper_opt_state2, frozen, lower_batches,
+                params, opt_state, upper_opt_state, lm, um = cadence_step(
+                    params, opt_state, upper_opt_state, frozen, lower_batches,
                     upper_batch, jax.random.PRNGKey(0),
                 )
                 warm_loss = float(lm["loss"][-1])
@@ -243,8 +242,8 @@ def run(args):
                 n_cad = max(1, args.steps // 10)
                 t0 = time.perf_counter()
                 for i in range(n_cad):
-                    params, opt_state, upper_opt_state2, lm, um = cadence_step(
-                        params, opt_state, upper_opt_state2, frozen, lower_batches,
+                    params, opt_state, upper_opt_state, lm, um = cadence_step(
+                        params, opt_state, upper_opt_state, frozen, lower_batches,
                         upper_batch, jax.random.PRNGKey(i + 1),
                     )
                 _ = float(lm["loss"][-1])  # single host fetch = full barrier
@@ -323,7 +322,7 @@ def run(args):
             # params/opt-state references otherwise stay resident and turn a
             # batch-16 OOM into cascading OOMs at every smaller batch
             params = opt_state = upper_opt_state = batch = upper_batch = None  # noqa: F841
-            upper_opt_state2 = lower_batches = lm = um = None  # noqa: F841
+            lower_batches = lm = um = None  # noqa: F841
             import gc
 
             gc.collect()
@@ -375,7 +374,8 @@ def run_prune(args):
         resolution, seq, xdim = args.resolution, 77, 1024
     spec = build_unet_spec(cfg)
     layout = gate_layout_for_config(cfg)
-    unet = UNet2DConditionModel(spec, dtype=dtype, remat=args.remat)
+    unet = UNet2DConditionModel(spec, dtype=dtype, remat=args.remat,
+                            remat_policy=args.remat_policy)
     rng = np.random.default_rng(0)
     lat = resolution // 8 if not args.smoke else cfg.sample_size
     u_shape = jax.eval_shape(

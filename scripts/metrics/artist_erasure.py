@@ -97,20 +97,20 @@ def main(argv=None):
         )
         # per-row evaluation_guidance, like the per-row evaluation_seed: the
         # CFG scale is compile-time static, so rows group by guidance value
-        # (one compiled loop per distinct value) with filenames keyed by the
-        # original row index
+        # (one compiled loop per distinct value); `indices=rows` keeps
+        # filenames and the merged prompts.json keyed by the original CSV
+        # row index across groups
         by_guidance = {}
         for i, gval in enumerate(guidance):
             by_guidance.setdefault(gval, []).append(i)
-        for k, (gval, rows) in enumerate(sorted(by_guidance.items())):
+        for gval, rows in sorted(by_guidance.items()):
             generate_prompt_images(
                 pipe, [prompts[i] for i in rows], image_dir,
                 batch_size=args.batch_size,
                 num_inference_steps=args.num_inference_steps,
                 guidance_scale=gval, resolution=args.resolution,
                 seeds=[seeds[i] for i in rows],
-                prefix=f"g{k}_" if len(by_guidance) > 1 else "",
-                write_manifest=(len(by_guidance) == 1),
+                indices=rows,
             )
         import jax
 

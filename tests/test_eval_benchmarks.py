@@ -220,8 +220,9 @@ def test_artist_erasure_end_to_end(eval_env, tmp_path):
 
 
 def test_artist_per_row_guidance_groups(eval_env, tmp_path):
-    """Rows with different evaluation_guidance generate in separate groups
-    (CFG scale is compile-time static) with distinct filenames."""
+    """Rows with different evaluation_guidance generate in separate compiled
+    groups (CFG scale is compile-time static) but keep filenames and the
+    merged prompts.json keyed by the ORIGINAL csv row index."""
     clip_dir = str(tmp_path / "clip")
     make_tiny_clip_classifier(clip_dir)
     csv_path = tmp_path / "mixed.csv"
@@ -241,7 +242,12 @@ def test_artist_per_row_guidance_groups(eval_env, tmp_path):
         "--clip_model", clip_dir,
     ])
     files = sorted(os.listdir(tmp_path / "imgs"))
-    assert "g0_00000.png" in files and "g1_00000.png" in files
+    assert "00000.png" in files and "00001.png" in files
+    import json as _json
+
+    with open(tmp_path / "imgs" / "prompts.json") as f:
+        manifest = _json.load(f)
+    assert manifest == {"0": "first prompt", "1": "second prompt"}
 
 
 def test_load_prompts_i2p_and_mma_branches(monkeypatch):

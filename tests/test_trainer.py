@@ -189,3 +189,36 @@ def test_bilevel_trainer_fused_cadence():
         upper_rows = [r for r in rows if "upper_loss" in r]
         assert upper_rows and all(np.isfinite(r["upper_loss"]) for r in upper_rows)
         assert any("loss" in r and np.isfinite(r["loss"]) for r in rows)
+
+
+def test_bilevel_fused_cadence_survives_unaligned_checkpoints():
+    """A checkpoint boundary that is NOT a multiple of upper_step_freq forces
+    a partial flush; the upper step must still fire every freq lower steps
+    (neither starved nor drifted)."""
+    from unlearn_ft_tpu.training.bilevel import BilevelFineTuneTrainer
+
+    with tempfile.TemporaryDirectory() as tmp:
+        cfg = _config(tmp)
+        cfg.training.max_train_steps = 6
+        cfg.training.checkpoint_steps = 3  # misaligned with freq=2
+        cfg.merge({"training": {"fused_cadence": True, "upper_step_freq": 2}})
+        t = BilevelFineTuneTrainer(cfg)
+        calls = {"cadence": 0, "upper": 0}
+        orig_c, orig_u = t.cadence_fn, t.upper_step_fn
+
+        def counting_cadence(*a, **k):
+            calls["cadence"] += 1
+            return orig_c(*a, **k)
+
+        def counting_upper(*a, **k):
+            calls["upper"] += 1
+            return orig_u(*a, **k)
+
+        t.cadence_fn = counting_cadence
+        t.upper_step_fn = counting_upper
+        t.train()
+        # 6 lowers at freq 2 -> 3 uppers total: cadence flushes carry one
+        # upper each, the misaligned window fires one standalone upper
+        assert calls["cadence"] + calls["upper"] == 3, calls
+        assert calls["upper"] >= 1, calls  # the partial-flush path fired
+        assert t._buffer == [] and t._lower_since_upper == 0

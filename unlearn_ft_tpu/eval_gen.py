@@ -171,12 +171,16 @@ def generate_prompt_images(
     prefix: str = "",
     skip_existing: bool = True,
     write_manifest: bool = True,
+    indices: Optional[Sequence[int]] = None,
 ) -> List[str]:
     """Generate one image per prompt into ``save_dir`` as
     ``{prefix}{index:05d}.png`` plus a ``prompts.json`` manifest
     (index -> prompt). Work is sharded across hosts by jax.process_index.
     ``seeds`` gives a per-prompt latent seed (artist CSVs' evaluation_seed);
-    otherwise one seed per batch derived from ``seed``.
+    otherwise one seed per batch derived from ``seed``. ``indices`` overrides
+    the filename/manifest index per prompt (defaults to position) so callers
+    that split one prompt set over several calls — e.g. per-guidance groups —
+    keep global row attribution; the manifest is then merged, not replaced.
     Returns the host-local list of written image paths."""
     import jax
     import jax.numpy as jnp
@@ -185,19 +189,31 @@ def generate_prompt_images(
     from .utils.image_io import save_image
 
     os.makedirs(save_dir, exist_ok=True)
+    if indices is None:
+        global_ids = list(range(len(prompts)))
+        merge_manifest = False
+    else:
+        assert len(indices) == len(prompts), (len(indices), len(prompts))
+        global_ids = [int(i) for i in indices]
+        merge_manifest = True
     if write_manifest and jax.process_index() == 0:
         manifest_path = os.path.join(save_dir, "prompts.json")
+        manifest = {}
+        if merge_manifest and os.path.exists(manifest_path):
+            with open(manifest_path) as fh:
+                manifest = json.load(fh)
+        manifest.update({str(g): p for g, p in zip(global_ids, prompts)})
         with open(manifest_path, "w") as f:
-            json.dump({i: p for i, p in enumerate(prompts)}, f, indent=0)
+            json.dump(manifest, f, indent=0)
 
-    indices = list(range(len(prompts)))[jax.process_index() :: jax.process_count()]
+    positions = list(range(len(prompts)))[jax.process_index() :: jax.process_count()]
     empty = pipe.encode_prompts([""] * batch_size)
     written: List[str] = []
     f = pipe.vae_scale_factor
     lat_hw = resolution // f
-    for start in range(0, len(indices), batch_size):
-        chunk = indices[start : start + batch_size]
-        paths = [os.path.join(save_dir, f"{prefix}{i:05d}.png") for i in chunk]
+    for start in range(0, len(positions), batch_size):
+        chunk = positions[start : start + batch_size]
+        paths = [os.path.join(save_dir, f"{prefix}{global_ids[i]:05d}.png") for i in chunk]
         if skip_existing and all(os.path.exists(p) for p in paths):
             written.extend(paths)
             continue
@@ -221,6 +237,6 @@ def generate_prompt_images(
         for j, path in enumerate(paths):
             save_image(imgs[j], path)
             written.append(path)
-        print(f"[{jax.process_index()}] generated {start + len(chunk)}/{len(indices)}",
+        print(f"[{jax.process_index()}] generated {start + len(chunk)}/{len(positions)}",
               flush=True)
     return written

@@ -85,6 +85,7 @@ class BilevelFineTuneTrainer(FineTuneTrainer):
         self._upper_it = iter(self.upper_loader.infinite())
         self._buffer = []
         self._last_metrics: Dict = {}
+        self._lower_since_upper = 0  # cadence phase across partial flushes
         super().train()
 
     def run_step(self, batch, rng) -> Dict:
@@ -92,10 +93,11 @@ class BilevelFineTuneTrainer(FineTuneTrainer):
             # buffer lower batches; dispatch once per cadence window. The
             # params/opt-states lag by up to freq-1 steps between flushes —
             # validate()/save_checkpoint() flush first so observable state is
-            # always exact.
+            # always exact. After a partial flush the window shrinks so the
+            # upper step keeps firing every upper_step_freq lower steps.
             self._buffer.append(batch)
             self._flush_rng = rng
-            if len(self._buffer) == self.upper_step_freq:
+            if len(self._buffer) == self.upper_step_freq - self._lower_since_upper:
                 self._flush_pending()
             return dict(self._last_metrics)
         metrics = super().run_step(batch, rng)
@@ -109,14 +111,21 @@ class BilevelFineTuneTrainer(FineTuneTrainer):
         return metrics
 
     def _flush_pending(self):
-        """Apply buffered lower batches. A full buffer runs the fused cadence
-        (freq lowers + 1 upper in one dispatch); a partial one (only at a
-        validate/checkpoint boundary) replays the plain lower step."""
+        """Apply buffered lower batches. An aligned full window runs the fused
+        cadence (freq lowers + 1 upper in one dispatch); a partial one (at a
+        validate/checkpoint boundary not divisible by upper_step_freq) replays
+        the plain lower step — and still advances the cadence phase, firing
+        the standalone upper step whenever freq lower steps have accumulated,
+        so the ESD suppression schedule never starves or drifts. (Partial
+        flushes compile the plain step functions too; keep
+        validation_steps/checkpoint_steps multiples of upper_step_freq to
+        stay on the single fused program.)"""
         if not getattr(self, "_buffer", None):
             return
         import jax.numpy as jnp
 
-        if len(self._buffer) == self.upper_step_freq:
+        freq = self.upper_step_freq
+        if len(self._buffer) == freq and self._lower_since_upper == 0:
             stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *self._buffer)
             upper_batch = shard_batch(next(self._upper_it), self.mesh)
             (self.params, self.opt_state, self.upper_opt_state, lm, um) = self.cadence_fn(
@@ -131,7 +140,21 @@ class BilevelFineTuneTrainer(FineTuneTrainer):
                     self.params, self.opt_state, self.frozen, b,
                     jax.random.fold_in(self._flush_rng, i),
                 )
+                self._lower_since_upper += 1
+                if self._lower_since_upper == freq:
+                    upper_batch = shard_batch(next(self._upper_it), self.mesh)
+                    self.params, self.upper_opt_state, um = self.upper_step_fn(
+                        self.params, self.upper_opt_state, self.frozen, upper_batch,
+                        jax.random.fold_in(self._flush_rng, 0xE5D + i),
+                    )
+                    self._last_metrics = {**self._last_metrics, **um}
+                    self._lower_since_upper = 0
         self._buffer = []
+        if not getattr(self, "_window_reset_done", False):
+            # the first flush paid the fused-cadence compile; ask the train
+            # loop to restart its throughput window (trainer.py loop)
+            self._reset_throughput_window = True
+            self._window_reset_done = True
 
     def validate(self):
         self._flush_pending()

@@ -356,13 +356,22 @@ class FluxPruningTrainer(PruningTrainer):
         from ..utils.estimation import hard_concrete
         from ..utils.image_io import save_image
 
-        pipe = FluxPipeline(
-            self.flux, self.frozen["flux"], self.fm_sched,
-            vae=self.vae, vae_params=self.vae_params,
-            hypernet=self.hypernet, hypernet_params=self.trainable["hypernet"],
-            quantizer_cfg=self.qcfg, quantizer_params=self.trainable["quantizer"],
-            quantizer_state=self.qstate, layout=self.layout,
-        )
+        # cached like PruningTrainer.get_pipeline: the jitted Euler denoise
+        # loop keys its compile cache on pipeline identity, so rebuilding per
+        # validation would recompile the whole sampling loop every time
+        if not hasattr(self, "_flux_pipeline"):
+            self._flux_pipeline = FluxPipeline(
+                self.flux, self.frozen["flux"], self.fm_sched,
+                vae=self.vae, vae_params=self.vae_params,
+                hypernet=self.hypernet, hypernet_params=self.trainable["hypernet"],
+                quantizer_cfg=self.qcfg, quantizer_params=self.trainable["quantizer"],
+                quantizer_state=self.qstate, layout=self.layout,
+            )
+        pipe = self._flux_pipeline
+        pipe.flux_params = self.frozen["flux"]
+        pipe.hypernet_params = self.trainable["hypernet"]
+        pipe.qparams = self.trainable["quantizer"]
+        pipe.qstate = self.qstate
         g = self.config.get_path
         steps = int(g("training.num_inference_steps", 4))
         # pixel size consistent with the training token grid; only exact for

@@ -262,9 +262,12 @@ class BaseTrainer:
             metrics = self.run_step(batch, step_rng)
             samples += int(cfg.get_path("data.dataloader.train_batch_size", 8))
             self.global_step += 1
-            if self._steps_this_run == 0:
-                # first step of this run paid the jit compile; restart the
-                # throughput window so logged samples/sec reflects steady state
+            if self._steps_this_run == 0 or getattr(self, "_reset_throughput_window", False):
+                # a step that paid a jit compile (first step; or the first
+                # fused-cadence flush, which lands at step upper_step_freq —
+                # trainers signal it via _reset_throughput_window) restarts
+                # the window so logged samples/sec reflects steady state
+                self._reset_throughput_window = False
                 jax.block_until_ready(metrics)
                 t0 = time.time()
                 samples = 0
