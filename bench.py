@@ -479,27 +479,43 @@ def run_prune(args):
 
 
 def run_gen(args):
-    """512px generation throughput: 25-step DDIM CFG on the pruned expert."""
+    """512px generation throughput: 25-step DDIM CFG on the pruned expert
+    (tiny shapes under --smoke)."""
     import jax
     import jax.numpy as jnp
 
     from unlearn_ft_tpu.models import (
-        UNet2DConditionModel, build_unet_spec, gate_layout_for_config,
+        UNet2DConditionModel, UNetConfig, build_unet_spec, gate_layout_for_config,
         materialize_pruned, sd21_unet_config,
     )
     from unlearn_ft_tpu.models.vae import AutoencoderKL, VAEConfig
     from unlearn_ft_tpu.pipelines import SDPipeline
     from unlearn_ft_tpu.schedulers import DiffusionSchedule
 
-    cfg = sd21_unet_config()
+    dtype = jnp.float32 if args.smoke else jnp.bfloat16
+    if args.smoke:
+        cfg = UNetConfig(
+            sample_size=8, block_out_channels=(16, 32), layers_per_block=2,
+            num_attention_heads=(2, 4), cross_attention_dim=16, norm_num_groups=4,
+            ff_gate_width=4, upcast_attention=False,
+            down_block_types=("CrossAttnDownBlock2DHalfGated", "DownBlock2DHalfGated"),
+            up_block_types=("UpBlock2DHalfGated", "CrossAttnUpBlock2DHalfGated"),
+        )
+        vae_cfg = VAEConfig(block_out_channels=(8, 16), layers_per_block=1, norm_num_groups=4)
+        resolution, seq, xdim, steps = 16, 7, 16, 2
+    else:
+        cfg = sd21_unet_config()
+        vae_cfg = VAEConfig()
+        resolution, seq, xdim, steps = args.resolution, 77, 1024, 25
     spec = build_unet_spec(cfg)
     layout = gate_layout_for_config(cfg)
     rng = np.random.default_rng(0)
-    teacher = UNet2DConditionModel(spec, dtype=jnp.bfloat16)
+    teacher = UNet2DConditionModel(spec, dtype=dtype)
+    lat = resolution // 8 if not args.smoke else cfg.sample_size
     t_shape = jax.eval_shape(
         lambda k: teacher.init(
-            k, jnp.zeros((1, 64, 64, 4), jnp.bfloat16), jnp.zeros((1,), jnp.int32),
-            jnp.zeros((1, 77, 1024), jnp.bfloat16),
+            k, jnp.zeros((1, lat, lat, cfg.in_channels), dtype),
+            jnp.zeros((1,), jnp.int32), jnp.zeros((1, seq, xdim), dtype),
         ), jax.random.PRNGKey(0),
     )["params"]
     full_params = jax.tree.map(
@@ -508,28 +524,34 @@ def run_gen(args):
     sspec, sparams = materialize_pruned(
         spec, layout, full_params, layout.random_arch_vector(args.keep_ratio, seed=0)
     )
-    student = UNet2DConditionModel(sspec, dtype=jnp.bfloat16)
-    vae = AutoencoderKL(VAEConfig(), dtype=jnp.bfloat16)
+    student = UNet2DConditionModel(sspec, dtype=dtype)
+    vae = AutoencoderKL(vae_cfg, dtype=dtype)
     v_shape = jax.eval_shape(
-        lambda k: vae.init(k, jnp.zeros((1, 512, 512, 3), jnp.bfloat16), k),
+        lambda k: vae.init(k, jnp.zeros((1, resolution, resolution, 3), dtype), k),
         jax.random.PRNGKey(0),
     )["params"]
     vparams = jax.tree.map(
         lambda s: (rng.standard_normal(s.shape) * 0.02).astype(np.float32), v_shape
     )
-    pipe = SDPipeline(student, jax.device_put(sparams), vae, jax.device_put(vparams),
+    # inference holds no fp32 master copy: bf16 params halve the weight HBM
+    # and spare the loop any fp32->bf16 convert the compiler fails to hoist
+    import ml_dtypes
+
+    np_dt = np.float32 if args.smoke else ml_dtypes.bfloat16
+    cast = lambda t: jax.tree.map(lambda x: np.asarray(x).astype(np_dt), t)  # noqa: E731
+    pipe = SDPipeline(student, jax.device_put(cast(sparams)), vae,
+                      jax.device_put(cast(vparams)),
                       DiffusionSchedule(), scheduler_type="ddim")
-    bs = args.batch_size or 16  # b16 = 3.44 img/s vs b8 = 2.88 measured
-    pe = jnp.asarray(rng.standard_normal((bs, 77, 1024)), jnp.float32)
+    bs = args.batch_size or (2 if args.smoke else 16)  # b16 = 3.44 img/s vs b8 = 2.88
+    pe = jnp.asarray(rng.standard_normal((bs, seq, xdim)), jnp.float32)
     empty = jnp.zeros_like(pe)
-    steps = 25
     # warmup (compile), then timed
-    pipe.generate_samples(pe, empty, steps, 7.5, args.resolution, args.resolution, 0)
+    pipe.generate_samples(pe, empty, steps, 7.5, resolution, resolution, 0)
     t0 = time.perf_counter()
     n_rounds = 3
     for i in range(n_rounds):
         imgs = pipe.generate_samples(
-            pe, empty, steps, 7.5, args.resolution, args.resolution, i + 1
+            pe, empty, steps, 7.5, resolution, resolution, i + 1
         )
     dt = time.perf_counter() - t0
     return bs * n_rounds / dt
