@@ -46,3 +46,22 @@ def test_splash_interpret_matches_xla():
     out = splash_attention(q, k, v, interpret=True)
     want = _xla_attention(q, k, v, upcast=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=2e-3)
+
+
+def test_splash_interpret_gradients_match_xla():
+    """The fused dq+dkv backward, through the Pallas interpreter, against
+    jax.grad of the fp32 XLA reference."""
+    from unlearn_ft_tpu.ops.splash_attention import splash_attention
+
+    q, k, v = _qkv(b=1, l=512, h=1)
+    w = jnp.asarray(np.random.default_rng(1).standard_normal(q.shape), q.dtype)
+
+    def loss(fn):
+        return lambda q, k, v: jnp.sum(fn(q, k, v).astype(jnp.float32) * w)
+
+    g = jax.grad(loss(lambda q, k, v: splash_attention(q, k, v, interpret=True)),
+                 argnums=(0, 1, 2))(q, k, v)
+    gw = jax.grad(loss(lambda q, k, v: _xla_attention(q, k, v, upcast=True)),
+                  argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g, gw):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3)
