@@ -7,8 +7,11 @@ student fwd/bwd on a second AdamW) per 10, the reference cadence
 (upper_step_freq=10, trainer.py:2793-2816) — at 512px on real SD-2.1 shapes.
 Weights are randomly/zeros initialized — throughput is weight-independent —
 and the student is a ~55%-MACs materialized expert, mirroring the reference's
-expert-2 checkpoint. ``--lower-only`` reproduces round 1's lower-step-only
-number.
+expert-2 checkpoint. By default the bilevel mode runs batch 8 x grad-accum 2
+— the reference bilevel config's effective batch 16/chip
+(configs/baselines/sd-2-1_coco_aptp_both_512_bilevel.yaml:48), accumulated
+inside the jitted step. ``--lower-only`` reproduces round 1's
+lower-step-only number.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 ``vs_baseline`` is measured against an estimated 10 samples/sec/GPU for the
@@ -107,19 +110,22 @@ def build(args):
     prec = "fp32" if args.lower_only else args.opt_precision
     mu_dtype = jnp.bfloat16 if prec in ("bf16", "mixed") else None
     nu_dtype = jnp.bfloat16 if prec == "bf16" else None
+    ga = max(1, int(getattr(args, "grad_accum", 1) or 1))
     tx = make_optimizer(1e-6, mu_dtype=mu_dtype, nu_dtype=nu_dtype)
-    step = make_finetune_step(student_mod, teacher_mod, vae, sched, loss_cfg, tx)
+    step = make_finetune_step(student_mod, teacher_mod, vae, sched, loss_cfg, tx,
+                              grad_accum=ga)
     # upper optimizer: reference bilevel config (unet_unlearning_learning_rate
     # 5e-6, configs/baselines/sd-2-1_coco_aptp_both_512_bilevel.yaml)
     upper_tx = make_optimizer(5e-6, mu_dtype=mu_dtype, nu_dtype=nu_dtype)
-    upper_step = make_upper_step(student_mod, teacher_mod, vae, sched, loss_cfg, upper_tx)
+    upper_step = make_upper_step(student_mod, teacher_mod, vae, sched, loss_cfg,
+                                 upper_tx, grad_accum=ga)
     cadence_step = None
     if getattr(args, "fused_cadence", False):
         from unlearn_ft_tpu.training.steps import make_bilevel_cadence_step
 
         cadence_step = make_bilevel_cadence_step(
             student_mod, teacher_mod, vae, sched, loss_cfg, tx, upper_tx,
-            lower_per_upper=10,
+            lower_per_upper=10, grad_accum=ga,
         )
 
     n_t = sum(x.size for x in jax.tree.leaves(teacher_params))
@@ -222,6 +228,13 @@ def run(args):
                         rng.standard_normal((bs, seq, xdim)), jnp.float32
                     ),
                 }
+            ga = max(1, int(getattr(args, "grad_accum", 1) or 1))
+            if ga > 1:
+                # [accum, batch, ...] microbatch axis: same data each micro —
+                # throughput is data-independent; effective batch = bs*accum
+                batch = jax.tree.map(
+                    lambda x: jnp.broadcast_to(x, (ga,) + x.shape), batch
+                )
             if cadence_step is not None and not args.lower_only:
                 # fused mode: ONE dispatch per 10-lower+1-upper cadence
                 lower_batches = jax.tree.map(
@@ -249,8 +262,8 @@ def run(args):
                 _ = float(lm["loss"][-1])  # single host fetch = full barrier
                 _ = float(um["upper_loss"])
                 dt = time.perf_counter() - t0
-                sps = bs * 10 * n_cad / dt
-                print(f"# batch {bs} fused bilevel cadence: {sps:.3f} samples/sec "
+                sps = bs * ga * 10 * n_cad / dt
+                print(f"# batch {bs}x{ga} fused bilevel cadence: {sps:.3f} samples/sec "
                       f"({dt/(n_cad*10)*1e3:.1f} ms/lower-step incl. upper share)",
                       file=sys.stderr)
                 if best is None or sps > best:
@@ -302,9 +315,9 @@ def run(args):
             if not args.lower_only:
                 _ = float(um["upper_loss"])
             dt = time.perf_counter() - t0
-            sps = bs * n_steps / dt
+            sps = bs * ga * n_steps / dt
             mode = "lower-only" if args.lower_only else f"bilevel (1 upper per {freq})"
-            print(f"# batch {bs} {mode}: {sps:.3f} samples/sec "
+            print(f"# batch {bs}x{ga} {mode}: {sps:.3f} samples/sec "
                   f"({dt/n_steps*1e3:.1f} ms/lower-step incl. upper share)",
                   file=sys.stderr)
             if best is None or sps > best:
@@ -593,7 +606,17 @@ def main():
     p.add_argument("--lower-only", action="store_true",
                    help="measure the lower step alone (round-1 metric) instead "
                         "of the true 9-lower+1-upper bilevel cadence")
+    p.add_argument("--grad-accum", type=int, default=None,
+                   help="microbatches accumulated per optimizer update inside "
+                        "the jitted step. Bilevel default: 2 — batch 8 x "
+                        "accum 2 is the reference bilevel config's effective "
+                        "batch 16/chip (and faster: fewer AdamW updates per "
+                        "sample). Other modes default to 1.")
     args = p.parse_args()
+    if args.grad_accum is None:
+        # bilevel training mode defaults to the reference's effective batch
+        # 16/chip (batch 8 x accum 2); gen/prune/lower-only stay at 1
+        args.grad_accum = 1 if (args.gen or args.prune or args.lower_only) else 2
     # production default: VAE posterior moments precomputed once per dataset
     # (identical training distribution; the encoder costs more FLOPs than the
     # teacher U-Net at 512px — measured 35.6 vs 29.0 samples/sec/chip)

@@ -26,8 +26,12 @@ def create_mesh(num_devices: Optional[int] = None, axis_name: str = "dp") -> Mes
     return Mesh(np.asarray(devices), (axis_name,))
 
 
-def shard_batch(batch, mesh: Mesh, axis_name: str = "dp"):
-    """Shard every leaf's leading (batch) dimension across the mesh.
+def shard_batch(batch, mesh: Mesh, axis_name: str = "dp", batch_axis: int = 0):
+    """Shard every leaf's batch dimension (``batch_axis``) across the mesh.
+
+    ``batch_axis=1`` serves gradient-accumulation batches, whose leaves are
+    [accum, batch, ...] — the microbatch axis stays unsharded (it is scanned
+    inside the step), the batch axis shards on dp.
 
     Multi-host contract: each process passes its OWN per-host shard of the
     global batch (the loaders already shard records by jax.process_index,
@@ -36,7 +40,8 @@ def shard_batch(batch, mesh: Mesh, axis_name: str = "dp"):
     host-local numpy onto a global NamedSharding would be wrong on a real
     multi-host mesh. Single-process keeps the direct device_put fast path.
     """
-    sharding = NamedSharding(mesh, P(axis_name))
+    spec = [None] * batch_axis + [axis_name]
+    sharding = NamedSharding(mesh, P(*spec))
     if jax.process_count() > 1:
         return jax.tree.map(
             lambda x: jax.make_array_from_process_local_data(

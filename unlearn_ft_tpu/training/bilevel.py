@@ -16,7 +16,7 @@ import numpy as np
 
 from ..data import DataLoader
 from ..data.datasets import HFDataset, SyntheticDataset
-from ..parallel import replicate, shard_batch
+from ..parallel import replicate
 from ..utils.logging_utils import logger
 from .finetune import FineTuneTrainer
 from .steps import make_bilevel_cadence_step, make_upper_step
@@ -63,7 +63,8 @@ class BilevelFineTuneTrainer(FineTuneTrainer):
     def make_steps(self):
         super().make_steps()
         self.upper_step_fn = make_upper_step(
-            self.student, self.teacher, self.vae, self.sched, self.loss_cfg, self.upper_tx
+            self.student, self.teacher, self.vae, self.sched, self.loss_cfg,
+            self.upper_tx, grad_accum=self.grad_accum,
         )
         # opt-in fused cadence: the whole upper_step_freq-lower+1-upper window
         # is ONE lax.scan program — one device dispatch per window instead of
@@ -75,6 +76,7 @@ class BilevelFineTuneTrainer(FineTuneTrainer):
             self.cadence_fn = make_bilevel_cadence_step(
                 self.student, self.teacher, self.vae, self.sched, self.loss_cfg,
                 self.tx, self.upper_tx, lower_per_upper=freq,
+                grad_accum=self.grad_accum,
             )
 
     def train(self):
@@ -102,7 +104,7 @@ class BilevelFineTuneTrainer(FineTuneTrainer):
             return dict(self._last_metrics)
         metrics = super().run_step(batch, rng)
         if (self.global_step + 1) % self.upper_step_freq == 0:
-            upper_batch = shard_batch(next(self._upper_it), self.mesh)
+            upper_batch = self._next_batch(self._upper_it)
             upper_rng = jax.random.fold_in(rng, 0xE5D)
             self.params, self.upper_opt_state, upper_metrics = self.upper_step_fn(
                 self.params, self.upper_opt_state, self.frozen, upper_batch, upper_rng
@@ -127,7 +129,7 @@ class BilevelFineTuneTrainer(FineTuneTrainer):
         freq = self.upper_step_freq
         if len(self._buffer) == freq and self._lower_since_upper == 0:
             stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *self._buffer)
-            upper_batch = shard_batch(next(self._upper_it), self.mesh)
+            upper_batch = self._next_batch(self._upper_it)
             (self.params, self.opt_state, self.upper_opt_state, lm, um) = self.cadence_fn(
                 self.params, self.opt_state, self.upper_opt_state, self.frozen,
                 stacked, upper_batch, self._flush_rng,
@@ -142,7 +144,7 @@ class BilevelFineTuneTrainer(FineTuneTrainer):
                 )
                 self._lower_since_upper += 1
                 if self._lower_since_upper == freq:
-                    upper_batch = shard_batch(next(self._upper_it), self.mesh)
+                    upper_batch = self._next_batch(self._upper_it)
                     self.params, self.upper_opt_state, um = self.upper_step_fn(
                         self.params, self.upper_opt_state, self.frozen, upper_batch,
                         jax.random.fold_in(self._flush_rng, 0xE5D + i),
@@ -159,6 +161,11 @@ class BilevelFineTuneTrainer(FineTuneTrainer):
     def validate(self):
         self._flush_pending()
         super().validate()
+
+    def log_samples(self):
+        # image_logging_steps cadence: observable params must be exact
+        self._flush_pending()
+        super().log_samples()
 
     def save_checkpoint(self):
         self._flush_pending()
@@ -351,7 +358,7 @@ class DreamBoothBilevelFineTuneTrainer(BilevelFineTuneTrainer):
     def run_step(self, batch, rng):
         metrics = FineTuneTrainer.run_step(self, batch, rng)
         if (self.global_step + 1) % self.upper_step_freq == 0:
-            upper_batch = shard_batch(next(self._upper_it), self.mesh)
+            upper_batch = self._next_batch(self._upper_it)
             upper_rng = jax.random.fold_in(rng, 0xDB)
             self.params, self.upper_opt_state, um = self._db_step(
                 self.params, self.upper_opt_state, self.frozen, upper_batch, upper_rng

@@ -436,7 +436,8 @@ class FineTuneTrainer(BaseTrainer):
 
     def make_steps(self):
         self.step_fn = make_finetune_step(
-            self.student, self.teacher, self.vae, self.sched, self.loss_cfg, self.tx
+            self.student, self.teacher, self.vae, self.sched, self.loss_cfg, self.tx,
+            grad_accum=self.grad_accum,
         )
 
     def run_step(self, batch, rng) -> Dict:

@@ -324,6 +324,7 @@ class FluxPruningTrainer(PruningTrainer):
             self.fm_sched, self.loss_cfg, self.tx, self.l_img, self.l_txt,
             weighting_scheme=g("model.prediction_model.weighting_scheme", "logit_normal"),
             guidance_scale=g("model.prediction_model.guidance_scale"),
+            grad_accum=self.grad_accum,
         )
 
     def validate(self):

@@ -150,6 +150,7 @@ class PruningTrainer(FineTuneTrainer):
             self.sched, self.loss_cfg, self.tx,
             seq_kv=int(self.config.get_path("data.synthetic_seq_len", 77)),
             pretrain=bool(self.config.get_path("training.hypernet_pretraining", False)),
+            grad_accum=self.grad_accum,
         )
 
     def run_step(self, batch, rng) -> Dict:
@@ -176,6 +177,10 @@ class PruningTrainer(FineTuneTrainer):
             step=self.global_step,
         )
         logger.info("expert resource ratios: %s", [f"{r:.3f}" for r in ratios])
+        self.log_expert_samples()
+
+    def log_samples(self):
+        # image_logging_steps cadence (reference trainer.py:1375-1470)
         self.log_expert_samples()
 
     def _log_codebook_similarity(self, hard: np.ndarray):

@@ -34,7 +34,12 @@ from ..utils import macs as macs_lib
 from ..utils.config import Config
 from ..utils.logging_utils import logger
 from .pruner import PruningTrainer
-from .steps import _forward_process, _get_latents, _safe_update
+from .steps import (
+    _accumulated_pruner_grads,
+    _forward_process,
+    _get_latents,
+    _safe_update,
+)
 
 
 class SDXLPruningTrainer(PruningTrainer):
@@ -124,8 +129,7 @@ class SDXLPruningTrainer(PruningTrainer):
         seq_kv = int(self.config.get_path("data.synthetic_seq_len", 77))
         macs_table = macs_lib.unet_macs(spec, seq_kv)
 
-        @partial(jax.jit, donate_argnums=(0, 1))
-        def step(trainable, opt_state, quant_state, frozen, batch, rng):
+        def grad_fn(trainable, quant_state, frozen, batch, rng):
             k_vae, k_fwd, k_q, k_gs = jax.random.split(rng, 4)
             latents = _get_latents(vae, frozen["vae"], batch, k_vae)
             noisy, timesteps, target = _forward_process(sched, loss_cfg, latents, k_fwd)
@@ -181,6 +185,20 @@ class SDXLPruningTrainer(PruningTrainer):
             (loss, (metrics, new_qstate)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
             )(trainable)
+            return loss, grads, metrics, new_qstate
+
+        grad_accum = self.grad_accum
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def step(trainable, opt_state, quant_state, frozen, batch, rng):
+            if grad_accum > 1:
+                loss, grads, metrics, new_qstate = _accumulated_pruner_grads(
+                    grad_fn, grad_accum, trainable, quant_state, frozen, batch, rng
+                )
+            else:
+                loss, grads, metrics, new_qstate = grad_fn(
+                    trainable, quant_state, frozen, batch, rng
+                )
             new_trainable, new_opt_state = _safe_update(tx, grads, opt_state, trainable, loss)
             return new_trainable, new_opt_state, new_qstate, metrics
 

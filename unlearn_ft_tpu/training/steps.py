@@ -102,6 +102,36 @@ def _safe_update(tx, grads, opt_state, params, loss):
     return pick(new_params, params), pick(new_opt_state, opt_state)
 
 
+def _merge_accum_metrics(metrics):
+    """Collapse the [accum, ...] leading axis left by the microbatch scan:
+    scalars average (a NaN microbatch keeps the NaN so _safe_update still
+    skips), per-sample arrays concatenate back to the effective batch."""
+    return jax.tree.map(
+        lambda m: m.mean(0) if m.ndim <= 1 else m.reshape((-1,) + m.shape[2:]),
+        metrics,
+    )
+
+
+def _accumulated_grads(grad_fn, accum, params, frozen, batch, rng):
+    """Gradient accumulation inside the jitted step (reference: accelerate's
+    ``gradient_accumulation_steps``, trainer.py:124,983). ``batch`` leaves
+    carry a leading [accum, ...] microbatch axis; a lax.scan runs the
+    backward per microbatch so activation memory stays at microbatch size,
+    and only the (param-sized) gradient accumulator is extra HBM. Returns
+    (mean loss, mean grads, merged metrics)."""
+    keys = jax.random.split(rng, accum)
+
+    def body(acc, xs):
+        micro, key = xs
+        loss, grads, metrics = grad_fn(params, frozen, micro, key)
+        return jax.tree.map(jnp.add, acc, grads), (loss, metrics)
+
+    zeros = jax.tree.map(lambda p: jnp.zeros(p.shape, p.dtype), params)
+    acc, (losses, metrics) = jax.lax.scan(body, zeros, (batch, keys))
+    grads = jax.tree.map(lambda g: g / accum, acc)
+    return losses.mean(), grads, _merge_accum_metrics(metrics)
+
+
 # ---------------------------------------------------------------------------
 # Expert fine-tuning (UnetFineTuner.step, trainer.py:2403-2488)
 # ---------------------------------------------------------------------------
@@ -113,15 +143,18 @@ def _finetune_core(
     sched: DiffusionSchedule,
     loss_cfg: LossConfig,
     tx: optax.GradientTransformation,
+    grad_accum: int = 1,
 ):
     """Unjitted lower-step body; make_finetune_step jits it, and the fused
-    cadence step scans it."""
+    cadence step scans it. With ``grad_accum > 1`` the batch leaves carry a
+    leading [accum, ...] microbatch axis and ONE optimizer update applies the
+    mean gradient (reference: accelerate accumulate, trainer.py:983)."""
     need_teacher = loss_cfg.distillation_weight > 0 or loss_cfg.block_weight > 0
     need_acts = loss_cfg.block_weight > 0  # don't build the activation taps
     # into the graph when the block loss is off — the sow outputs would
     # otherwise rely on XLA DCE to stay free
 
-    def step(params, opt_state, frozen, batch, rng):
+    def grad_fn(params, frozen, batch, rng):
         k_vae, k_fwd = jax.random.split(rng)
         latents = _get_latents(vae, frozen["vae"], batch, k_vae)
         noisy, timesteps, target = _forward_process(sched, loss_cfg, latents, k_fwd)
@@ -159,6 +192,15 @@ def _finetune_core(
                           "block_loss": blk}
 
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        return loss, grads, metrics
+
+    def step(params, opt_state, frozen, batch, rng):
+        if grad_accum > 1:
+            loss, grads, metrics = _accumulated_grads(
+                grad_fn, grad_accum, params, frozen, batch, rng
+            )
+        else:
+            loss, grads, metrics = grad_fn(params, frozen, batch, rng)
         new_params, new_opt_state = _safe_update(tx, grads, opt_state, params, loss)
         return new_params, new_opt_state, metrics
 
@@ -172,11 +214,12 @@ def make_finetune_step(
     sched: DiffusionSchedule,
     loss_cfg: LossConfig,
     tx: optax.GradientTransformation,
+    grad_accum: int = 1,
 ):
     """Returns step(params, opt_state, frozen, batch, rng) -> (params,
     opt_state, metrics). ``frozen`` = {'teacher':…, 'vae':…} param trees."""
     return partial(jax.jit, donate_argnums=(0, 1))(
-        _finetune_core(student, teacher, vae, sched, loss_cfg, tx)
+        _finetune_core(student, teacher, vae, sched, loss_cfg, tx, grad_accum)
     )
 
 
@@ -192,10 +235,11 @@ def _upper_core(
     sched: DiffusionSchedule,
     loss_cfg: LossConfig,
     upper_tx: optax.GradientTransformation,
+    grad_accum: int = 1,
 ):
     need_acts = loss_cfg.upper_block_weight > 0
 
-    def step(params, upper_opt_state, frozen, batch, rng):
+    def grad_fn(params, frozen, batch, rng):
         k_vae, k_fwd = jax.random.split(rng)
         latents = _get_latents(vae, frozen["vae"], batch, k_vae)
         noisy, timesteps, _ = _forward_process(sched, loss_cfg, latents, k_fwd)
@@ -241,7 +285,18 @@ def _upper_core(
                           "upper_block_loss": blk}
 
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-        new_params, new_opt_state = _safe_update(upper_tx, grads, upper_opt_state, params, loss)
+        return loss, grads, metrics
+
+    def step(params, upper_opt_state, frozen, batch, rng):
+        if grad_accum > 1:
+            loss, grads, metrics = _accumulated_grads(
+                grad_fn, grad_accum, params, frozen, batch, rng
+            )
+        else:
+            loss, grads, metrics = grad_fn(params, frozen, batch, rng)
+        new_params, new_opt_state = _safe_update(
+            upper_tx, grads, upper_opt_state, params, loss
+        )
         return new_params, new_opt_state, metrics
 
     return step
@@ -254,9 +309,10 @@ def make_upper_step(
     sched: DiffusionSchedule,
     loss_cfg: LossConfig,
     upper_tx: optax.GradientTransformation,
+    grad_accum: int = 1,
 ):
     return partial(jax.jit, donate_argnums=(0, 1))(
-        _upper_core(student, teacher, vae, sched, loss_cfg, upper_tx)
+        _upper_core(student, teacher, vae, sched, loss_cfg, upper_tx, grad_accum)
     )
 
 
@@ -279,6 +335,7 @@ def make_bilevel_cadence_step(
     tx: optax.GradientTransformation,
     upper_tx: optax.GradientTransformation,
     lower_per_upper: int = 10,
+    grad_accum: int = 1,
 ):
     """Returns step(params, opt_state, upper_opt_state, frozen,
     lower_batches, upper_batch, rng) -> (params, opt_state, upper_opt_state,
@@ -286,10 +343,11 @@ def make_bilevel_cadence_step(
 
     ``lower_batches`` is the usual lower batch dict with every leaf stacked
     to a [lower_per_upper, ...] leading axis (one slice per lower step);
-    ``lower_metrics`` leaves carry the same leading axis.
+    ``lower_metrics`` leaves carry the same leading axis. With grad_accum > 1
+    each slice additionally carries the [accum, ...] microbatch axis.
     """
-    lower = _finetune_core(student, teacher, vae, sched, loss_cfg, tx)
-    upper = _upper_core(student, teacher, vae, sched, loss_cfg, upper_tx)
+    lower = _finetune_core(student, teacher, vae, sched, loss_cfg, tx, grad_accum)
+    upper = _upper_core(student, teacher, vae, sched, loss_cfg, upper_tx, grad_accum)
 
     @partial(jax.jit, donate_argnums=(0, 1, 2))
     def step(params, opt_state, upper_opt_state, frozen, lower_batches, upper_batch, rng):
@@ -327,14 +385,14 @@ def make_dreambooth_upper_step(
     upper_tx: optax.GradientTransformation,
     prior_loss_weight: float = 1.0,
     with_prior_preservation: bool = True,
+    grad_accum: int = 1,
 ):
     """NOTE (deliberate deviation): for v-prediction the reference passes
     ``noisy_latents`` to get_velocity (trainer.py:3373) — a known HF-script
     quirk; here the target comes from ``sched.training_target(latents, …)``,
     the correct velocity."""
 
-    @partial(jax.jit, donate_argnums=(0, 1))
-    def step(params, upper_opt_state, frozen, batch, rng):
+    def grad_fn(params, frozen, batch, rng):
         k_vae, k_fwd = jax.random.split(rng)
         latents = _get_latents(vae, frozen["vae"], batch, k_vae)
         noisy, timesteps, target = _forward_process(sched, loss_cfg, latents, k_fwd)
@@ -357,6 +415,16 @@ def make_dreambooth_upper_step(
                           "prior_loss": prior_loss}
 
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        return loss, grads, metrics
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, upper_opt_state, frozen, batch, rng):
+        if grad_accum > 1:
+            loss, grads, metrics = _accumulated_grads(
+                grad_fn, grad_accum, params, frozen, batch, rng
+            )
+        else:
+            loss, grads, metrics = grad_fn(params, frozen, batch, rng)
         new_params, new_opt_state = _safe_update(
             upper_tx, grads, upper_opt_state, params, loss
         )
@@ -405,6 +473,7 @@ def make_flux_pruner_step(
     weighting_scheme: str = "logit_normal",
     guidance_scale: Optional[float] = None,
     pretrain: bool = False,
+    grad_accum: int = 1,
 ):
     """Batch: packed 'latents' [B, l_img, in_channels] (or raw via VAE done
     host-side), 'prompt_embeds' [B, l_txt, joint_dim], 'pooled_prompt_embeds',
@@ -416,8 +485,7 @@ def make_flux_pruner_step(
         flux_cfg, layout, layout.ones(1), l_img, l_txt, macs_table
     )["cur_prunable"][0]
 
-    @partial(jax.jit, donate_argnums=(0, 1))
-    def step(trainable, opt_state, quant_state, frozen, batch, rng):
+    def grad_fn(trainable, quant_state, frozen, batch, rng):
         k_noise, k_u, k_q, k_gs = jax.random.split(rng, 4)
         latents = batch["latents"]  # packed [B, l_img, C]
         b = latents.shape[0]
@@ -474,10 +542,43 @@ def make_flux_pruner_step(
         (loss, (metrics, new_qstate)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             trainable
         )
+        return loss, grads, metrics, new_qstate
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def step(trainable, opt_state, quant_state, frozen, batch, rng):
+        if grad_accum > 1:
+            loss, grads, metrics, new_qstate = _accumulated_pruner_grads(
+                grad_fn, grad_accum, trainable, quant_state, frozen, batch, rng
+            )
+        else:
+            loss, grads, metrics, new_qstate = grad_fn(
+                trainable, quant_state, frozen, batch, rng
+            )
         new_trainable, new_opt_state = _safe_update(tx, grads, opt_state, trainable, loss)
         return new_trainable, new_opt_state, new_qstate, metrics
 
     return step
+
+
+def _accumulated_pruner_grads(grad_fn, accum, trainable, quant_state, frozen, batch, rng):
+    """Pruner-step accumulation: like _accumulated_grads, but the quantizer
+    state (Sinkhorn codebook EMA) threads sequentially through the
+    microbatches — the same per-microbatch update order the reference's
+    accumulate context produces (trainer.py:983,1197)."""
+    keys = jax.random.split(rng, accum)
+
+    def body(carry, xs):
+        acc, qstate = carry
+        micro, key = xs
+        loss, grads, metrics, new_qstate = grad_fn(trainable, qstate, frozen, micro, key)
+        return (jax.tree.map(jnp.add, acc, grads), new_qstate), (loss, metrics)
+
+    zeros = jax.tree.map(lambda p: jnp.zeros(p.shape, p.dtype), trainable)
+    (acc, qstate), (losses, metrics) = jax.lax.scan(
+        body, (zeros, quant_state), (batch, keys)
+    )
+    grads = jax.tree.map(lambda g: g / accum, acc)
+    return losses.mean(), grads, _merge_accum_metrics(metrics), qstate
 
 
 # ---------------------------------------------------------------------------
@@ -496,83 +597,103 @@ def make_pruner_step(
     tx: optax.GradientTransformation,
     seq_kv: int = 77,
     pretrain: bool = False,
+    grad_accum: int = 1,
 ):
     """Trainable = {'hypernet':…, 'quantizer':…}; U-Net frozen (gates only).
     The contrastive similarity, Sinkhorn sums and resource stats are global
-    reductions over the sharded batch — DDP all_gathers fall out of jit."""
+    reductions over the sharded batch — DDP all_gathers fall out of jit.
+
+    With grad_accum > 1 the contrastive/Sinkhorn batch is the microbatch, as
+    in the reference's accumulate context (per-microbatch forward)."""
     macs_table = macs_lib.unet_macs(spec, seq_kv)
+
+    def make_grad_fn(training):
+        def grad_fn(trainable, quant_state, frozen, batch, rng):
+            k_vae, k_fwd, k_q, k_gs = jax.random.split(rng, 4)
+            latents = _get_latents(vae, frozen["vae"], batch, k_vae)
+            noisy, timesteps, target = _forward_process(sched, loss_cfg, latents, k_fwd)
+            ctx = batch["prompt_embeds"]
+            mpnet_emb = batch["mpnet_embeddings"]
+            batch_size = latents.shape[0]
+
+            ones = layout.ones(batch_size)
+            teacher_pred, teacher_acts = unet.apply(
+                {"params": frozen["unet"]}, noisy, timesteps, ctx, ones,
+                return_block_activations=True,
+            )
+            teacher_pred = jax.lax.stop_gradient(teacher_pred)
+            teacher_acts = jax.lax.stop_gradient(teacher_acts)
+
+            # full-structure denominator for resource ratios (count_macs,
+            # trainer.py:1344-1363)
+            full_cur_prunable = macs_lib.calc_macs(spec, ones, seq_kv, macs_table)[
+                "cur_prunable"][0]
+
+            def loss_fn(p):
+                arch_logits = hypernet.apply({"params": p["hypernet"]}, mpnet_emb)
+                zq, idx, new_qstate = quantizer_cfg(
+                    k_q, p["quantizer"], quant_state, arch_logits, training=training
+                )
+                arch_gs = quantizer_cfg.gumbel_sigmoid_trick(k_gs, arch_logits)
+                arch_norm = quantizer_cfg.width_depth_normalize(quant_state, arch_gs)
+
+                c_loss, sim = contrastive_loss(mpnet_emb, arch_norm)
+
+                structure = layout.split(arch_gs if pretrain else zq)
+                pred, acts = unet.apply(
+                    {"params": frozen["unet"]}, noisy, timesteps, ctx, structure,
+                    return_block_activations=True,
+                )
+
+                d_loss = diffusion_loss(
+                    pred, target, timesteps, sched.alphas_cumprod, loss_cfg.snr_gamma,
+                    sched.prediction_type,
+                )
+                dist = distillation_loss(pred, teacher_pred)
+                blk = block_distillation_loss(acts, teacher_acts)
+
+                macs_dict = macs_lib.calc_macs(spec, structure, seq_kv, macs_table)
+                ratios = macs_dict["cur_prunable"] / full_cur_prunable
+                r_loss = resource_loss(ratios.mean(), loss_cfg.resource_target,
+                                       loss_cfg.resource_type)
+                std_loss = -jnp.std(ratios)
+                max_loss = 1.0 - jnp.max(ratios)
+
+                loss = (
+                    loss_cfg.diffusion_weight * d_loss
+                    + loss_cfg.resource_weight * r_loss
+                    + loss_cfg.contrastive_weight * c_loss
+                    + loss_cfg.distillation_weight * dist
+                    + loss_cfg.block_weight * blk
+                    + loss_cfg.std_weight * std_loss
+                    + loss_cfg.max_weight * max_loss
+                )
+                metrics = {
+                    "loss": loss, "diff_loss": d_loss, "distill_loss": dist,
+                    "block_loss": blk, "contrastive_loss": c_loss, "resource_loss": r_loss,
+                    "resource_ratio": ratios.mean(), "batch_resource_ratios": ratios,
+                    "expert_indices": idx,
+                }
+                return loss, (metrics, new_qstate)
+
+            (loss, (metrics, new_qstate)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(trainable)
+            return loss, grads, metrics, new_qstate
+
+        return grad_fn
 
     @partial(jax.jit, donate_argnums=(0, 1), static_argnames=("training",))
     def step(trainable, opt_state, quant_state, frozen, batch, rng, training=True):
-        k_vae, k_fwd, k_q, k_gs = jax.random.split(rng, 4)
-        latents = _get_latents(vae, frozen["vae"], batch, k_vae)
-        noisy, timesteps, target = _forward_process(sched, loss_cfg, latents, k_fwd)
-        ctx = batch["prompt_embeds"]
-        mpnet_emb = batch["mpnet_embeddings"]
-        batch_size = latents.shape[0]
-
-        ones = layout.ones(batch_size)
-        teacher_pred, teacher_acts = unet.apply(
-            {"params": frozen["unet"]}, noisy, timesteps, ctx, ones,
-            return_block_activations=True,
-        )
-        teacher_pred = jax.lax.stop_gradient(teacher_pred)
-        teacher_acts = jax.lax.stop_gradient(teacher_acts)
-
-        # full-structure denominator for resource ratios (count_macs,
-        # trainer.py:1344-1363)
-        full_cur_prunable = macs_lib.calc_macs(spec, ones, seq_kv, macs_table)["cur_prunable"][0]
-
-        def loss_fn(p):
-            arch_logits = hypernet.apply({"params": p["hypernet"]}, mpnet_emb)
-            zq, idx, new_qstate = quantizer_cfg(
-                k_q, p["quantizer"], quant_state, arch_logits, training=training
+        grad_fn = make_grad_fn(training)
+        if grad_accum > 1:
+            loss, grads, metrics, new_qstate = _accumulated_pruner_grads(
+                grad_fn, grad_accum, trainable, quant_state, frozen, batch, rng
             )
-            arch_gs = quantizer_cfg.gumbel_sigmoid_trick(k_gs, arch_logits)
-            arch_norm = quantizer_cfg.width_depth_normalize(quant_state, arch_gs)
-
-            c_loss, sim = contrastive_loss(mpnet_emb, arch_norm)
-
-            structure = layout.split(arch_gs if pretrain else zq)
-            pred, acts = unet.apply(
-                {"params": frozen["unet"]}, noisy, timesteps, ctx, structure,
-                return_block_activations=True,
+        else:
+            loss, grads, metrics, new_qstate = grad_fn(
+                trainable, quant_state, frozen, batch, rng
             )
-
-            d_loss = diffusion_loss(
-                pred, target, timesteps, sched.alphas_cumprod, loss_cfg.snr_gamma,
-                sched.prediction_type,
-            )
-            dist = distillation_loss(pred, teacher_pred)
-            blk = block_distillation_loss(acts, teacher_acts)
-
-            macs_dict = macs_lib.calc_macs(spec, structure, seq_kv, macs_table)
-            ratios = macs_dict["cur_prunable"] / full_cur_prunable
-            r_loss = resource_loss(ratios.mean(), loss_cfg.resource_target,
-                                   loss_cfg.resource_type)
-            std_loss = -jnp.std(ratios)
-            max_loss = 1.0 - jnp.max(ratios)
-
-            loss = (
-                loss_cfg.diffusion_weight * d_loss
-                + loss_cfg.resource_weight * r_loss
-                + loss_cfg.contrastive_weight * c_loss
-                + loss_cfg.distillation_weight * dist
-                + loss_cfg.block_weight * blk
-                + loss_cfg.std_weight * std_loss
-                + loss_cfg.max_weight * max_loss
-            )
-            metrics = {
-                "loss": loss, "diff_loss": d_loss, "distill_loss": dist,
-                "block_loss": blk, "contrastive_loss": c_loss, "resource_loss": r_loss,
-                "resource_ratio": ratios.mean(), "batch_resource_ratios": ratios,
-                "expert_indices": idx,
-            }
-            return loss, (metrics, new_qstate)
-
-        (loss, (metrics, new_qstate)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            trainable
-        )
         new_trainable, new_opt_state = _safe_update(tx, grads, opt_state, trainable, loss)
         return new_trainable, new_opt_state, new_qstate, metrics
 

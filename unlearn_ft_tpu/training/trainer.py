@@ -92,6 +92,11 @@ class BaseTrainer:
             prediction_type=pm.get("prediction_type", "v_prediction")
         )
         self.loss_cfg = self._make_loss_config()
+        # one global_step = one optimizer update over grad_accum microbatches
+        # (reference: accelerate's gradient_accumulation_steps, trainer.py:124)
+        self.grad_accum = max(
+            1, int(config.get_path("training.gradient_accumulation_steps", 1) or 1)
+        )
         self.global_step = 0
 
         self.init_models()
@@ -238,6 +243,17 @@ class BaseTrainer:
     def run_step(self, batch, rng) -> Dict:
         raise NotImplementedError
 
+    def _next_batch(self, it):
+        """One optimizer-step batch from an iterator of loader batches: the
+        plain sharded batch, or — under gradient accumulation — grad_accum
+        loader batches stacked to an [accum, batch, ...] leading axis with
+        the batch axis sharded."""
+        if self.grad_accum == 1:
+            return shard_batch(next(it), self.mesh)
+        micro = [next(it) for _ in range(self.grad_accum)]
+        stacked = jax.tree.map(lambda *xs: np.stack(xs), *micro)
+        return shard_batch(stacked, self.mesh, batch_axis=1)
+
     def save_checkpoint(self):
         pass
 
@@ -250,6 +266,9 @@ class BaseTrainer:
         max_steps = int(cfg.get_path("training.max_train_steps", 10))
         ckpt_steps = int(cfg.get_path("training.checkpoint_steps", 0) or 0)
         val_steps = int(cfg.get_path("training.validation_steps", 0) or 0)
+        # sample images on their own cadence (reference image_logging_steps,
+        # configs/baselines/*.yaml; trainer.py:2543) — validate() also logs
+        img_steps = int(cfg.get_path("training.image_logging_steps", 0) or 0)
         self.maybe_resume()
 
         it = iter(self.train_loader.infinite())
@@ -257,10 +276,12 @@ class BaseTrainer:
         samples = 0
         self._steps_this_run = 0
         while self.global_step < max_steps:
-            batch = shard_batch(next(it), self.mesh)
+            batch = self._next_batch(it)
             step_rng = jax.random.fold_in(self.rng, self.global_step)
             metrics = self.run_step(batch, step_rng)
-            samples += int(cfg.get_path("data.dataloader.train_batch_size", 8))
+            samples += (
+                int(cfg.get_path("data.dataloader.train_batch_size", 8)) * self.grad_accum
+            )
             self.global_step += 1
             if self._steps_this_run == 0 or getattr(self, "_reset_throughput_window", False):
                 # a step that paid a jit compile (first step; or the first
@@ -287,10 +308,16 @@ class BaseTrainer:
                 )
             if val_steps and self.global_step % val_steps == 0:
                 self.validate()
+            if (img_steps and self.global_step % img_steps == 0
+                    and not (val_steps and self.global_step % val_steps == 0)):
+                self.log_samples()
             if ckpt_steps and self.global_step % ckpt_steps == 0:
                 self.save_checkpoint()
         self.save_checkpoint()
         self.tracker.finish()
 
     def validate(self):
+        pass
+
+    def log_samples(self):
         pass
