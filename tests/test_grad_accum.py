@@ -182,3 +182,27 @@ def test_pruner_accum_threads_quant_state(setup):
     before = jax.tree.leaves({"h": hparams})[0]
     after = jax.tree.leaves({"h": t1["hypernet"]})[0]
     assert not np.array_equal(np.asarray(before), np.asarray(after))
+
+
+def test_accum_with_sharded_moments_matches_replicated(setup):
+    """ZeRO-1 moment sharding composes with accumulation: the sharded-state
+    update equals the replicated one (XLA inserts the collectives)."""
+    from unlearn_ft_tpu.parallel import shard_moments
+    from unlearn_ft_tpu.training.optim import make_optimizer
+
+    layout, spec, unet, vae, sched, uparams, vparams, mesh, micro_batch = setup
+    loss_cfg = LossConfig()
+    tx = make_optimizer(1e-4, warmup_steps=2)
+    step = make_finetune_step(unet, unet, vae, sched, loss_cfg, tx, grad_accum=2)
+    frozen = {"teacher": _fresh(uparams, mesh), "vae": _fresh(vparams, mesh)}
+    batch = shard_batch(_stack([micro_batch(6), micro_batch(7)]), mesh, batch_axis=1)
+
+    p_rep, _, _ = step(
+        _fresh(uparams, mesh), _fresh(tx.init(uparams), mesh), frozen, batch,
+        jax.random.PRNGKey(3),
+    )
+    o_sh = shard_moments(jax.tree.map(jnp.copy, tx.init(uparams)), mesh)
+    p_sh, _, _ = step(_fresh(uparams, mesh), o_sh, frozen, batch, jax.random.PRNGKey(3))
+    for a, b in zip(jax.tree.leaves(jax.device_get(p_rep)),
+                    jax.tree.leaves(jax.device_get(p_sh))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)

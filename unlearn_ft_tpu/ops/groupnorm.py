@@ -13,6 +13,13 @@ production default; the Pallas kernel stays as an opt-in
 (hw*c*4B over ~4MB) additionally crash this image's remote Mosaic compile
 helper (VMEM exhaustion -> tpu_compile_helper HTTP 500).
 
+END-TO-END A/B (round 3, bilevel bench batch 8 x accum 2): XLA 39.92
+samples/s vs Pallas opt-in 37.96 — confirms the microbench. The step
+profiler's ~1.5ms per norm-stat fusion is HBM-bandwidth contention with
+async prefetch (per-op durations on a serial TensorCore absorb it), not a
+kernel inefficiency a rewrite can recover; variant formulations of the
+stats (dot/MXU, bf16-reduce) measure within noise in context.
+
 Backward runs through a custom VJP that recomputes via the XLA reference
 implementation (rematerialization — no residuals besides the input).
 """
