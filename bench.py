@@ -558,13 +558,15 @@ def run_gen(args):
     bs = args.batch_size or (2 if args.smoke else 16)  # b16 = 3.44 img/s vs b8 = 2.88
     pe = jnp.asarray(rng.standard_normal((bs, seq, xdim)), jnp.float32)
     empty = jnp.zeros_like(pe)
-    # warmup (compile), then timed
-    pipe.generate_samples(pe, empty, steps, 7.5, resolution, resolution, 0)
+    # warmup (compile), then timed. uint8 output = the production FID path
+    # (device-side quantize; the device->host tunnel fetch is 4x smaller)
+    pipe.generate_samples(pe, empty, steps, 7.5, resolution, resolution, 0,
+                          output_uint8=True)
     t0 = time.perf_counter()
     n_rounds = 3
     for i in range(n_rounds):
         imgs = pipe.generate_samples(
-            pe, empty, steps, 7.5, resolution, resolution, i + 1
+            pe, empty, steps, 7.5, resolution, resolution, i + 1, output_uint8=True
         )
     dt = time.perf_counter() - t0
     return bs * n_rounds / dt

@@ -61,11 +61,11 @@ def main(argv=None):
         imgs = pipe.generate_samples(
             pe, empty, args.num_inference_steps, args.guidance_scale,
             args.resolution, args.resolution, seed=args.seed + i,
+            output_uint8=True,  # quantized on device: 4x smaller host fetch
         )
         for j, cap in enumerate(chunk):
             name = cap.replace("/", " ").strip()[:180]
-            arr = (imgs[j] * 255).astype(np.uint8)
-            np.save(os.path.join(args.save_dir, f"{name}.npy"), arr)
+            np.save(os.path.join(args.save_dir, f"{name}.npy"), imgs[j])
         print(f"[{jax.process_index()}] {i + len(chunk)}/{len(captions)}", flush=True)
 
 

@@ -97,3 +97,16 @@ def test_depth_analysis_and_quantizer_samples(pipe_parts):
     qs = pipe.quantizer_samples(pe, pe, expert_ids=[0], num_inference_steps=1,
                                 height=32, width=32)
     assert 0 in qs
+
+
+def test_generate_samples_uint8_output(pipe_parts):
+    """output_uint8 quantizes on device and matches the float path's
+    round(img*255)."""
+    cfg, spec, layout, unet, uparams, vae, vparams, sched = pipe_parts
+    pipe = SDPipeline(unet, uparams, vae, vparams, sched, scheduler_type="ddim")
+    pe = jnp.zeros((2, 7, 16))
+    kw = dict(num_inference_steps=4, guidance_scale=7.5, height=32, width=32, seed=3)
+    f = pipe.generate_samples(pe, pe, **kw)
+    u = pipe.generate_samples(pe, pe, output_uint8=True, **kw)
+    assert u.dtype == np.uint8
+    np.testing.assert_array_equal(u, np.round(f * 255.0).astype(np.uint8))

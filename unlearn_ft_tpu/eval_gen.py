@@ -232,7 +232,7 @@ def generate_prompt_images(
             ] + [jnp.zeros((pad, lat_hw, lat_hw, pipe.unet.spec.in_channels))] * (1 if pad else 0))
         imgs = pipe.generate_samples(
             pe, empty, num_inference_steps, guidance_scale, resolution, resolution,
-            seed=seed + start, latents=latents,
+            seed=seed + start, latents=latents, output_uint8=True,
         )
         for j, path in enumerate(paths):
             save_image(imgs[j], path)

@@ -146,13 +146,19 @@ class SDPipeline:
             raise ValueError(f"unknown scheduler {self.scheduler_type}")
         return x, traj
 
-    @functools.partial(jax.jit, static_argnames=("self",))
-    def _decode_jit(self, vae_params, latents):
+    @functools.partial(jax.jit, static_argnames=("self", "as_uint8"))
+    def _decode_jit(self, vae_params, latents, as_uint8: bool = False):
         img = self.vae.apply({"params": vae_params}, latents, method=self.vae.decode)
-        return jnp.clip(img / 2 + 0.5, 0.0, 1.0)
+        img = jnp.clip(img / 2 + 0.5, 0.0, 1.0)
+        if as_uint8:
+            # quantize ON DEVICE: the host fetch is 4x smaller — the
+            # device->host tunnel is the FID-generation path's side channel
+            # (the reference saves uint8 .npy anyway, generate_fid_images.py)
+            img = jnp.round(img * 255.0).astype(jnp.uint8)
+        return img
 
-    def _decode(self, latents):
-        return self._decode_jit(self.vae_params, latents)
+    def _decode(self, latents, as_uint8: bool = False):
+        return self._decode_jit(self.vae_params, latents, as_uint8)
 
     @property
     def vae_scale_factor(self) -> int:
@@ -176,13 +182,15 @@ class SDPipeline:
         unet_params=None,
         latents: Optional[jnp.ndarray] = None,
         added_cond: Optional[dict] = None,
+        output_uint8: bool = False,
     ) -> np.ndarray:
         """Fixed-architecture sampling (generate_samples,
         pruning_pipelines.py:867-1010; the FID-generation path). Explicit
         ``latents`` override the seed — used for per-prompt seeds (the artist
         benchmark CSVs carry an evaluation_seed per row). ``added_cond`` is
         SDXL micro-conditioning, 2B-shaped like the CFG context ([uncond;
-        cond] — see sdxl_added_cond)."""
+        cond] — see sdxl_added_cond). ``output_uint8`` quantizes to uint8 on
+        device (4x smaller host fetch; the FID/eval writers save uint8)."""
         b = prompt_embeds.shape[0]
         rng = jax.random.PRNGKey(seed)
         if latents is None:
@@ -193,7 +201,7 @@ class SDPipeline:
             latents, context, rng, num_inference_steps, float(guidance_scale),
             structure, added_cond=added_cond,
         )
-        return np.asarray(self._decode(x))
+        return np.asarray(self._decode(x, as_uint8=output_uint8))
 
     def sample_progressive(self, prompt_embeds, empty_prompt_embeds, num_inference_steps=50,
                            guidance_scale=7.5, height=512, width=512, seed=0,

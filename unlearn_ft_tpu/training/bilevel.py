@@ -329,9 +329,10 @@ class DreamBoothBilevelFineTuneTrainer(BilevelFineTuneTrainer):
         idx = have
         while idx < want:
             imgs = pipe.generate_samples(pe, empty, steps, 7.5, res, res,
-                                         seed=self.seed + 1000 + idx)
+                                         seed=self.seed + 1000 + idx,
+                                         output_uint8=True)
             for img in imgs[: want - idx]:
-                Image.fromarray((np.asarray(img) * 255).astype(np.uint8)).save(
+                Image.fromarray(np.asarray(img)).save(
                     os.path.join(class_dir, f"class-{idx:05d}.png")
                 )
                 idx += 1

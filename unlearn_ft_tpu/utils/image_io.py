@@ -7,11 +7,14 @@ import numpy as np
 
 
 def save_image(img, path: str):
-    """float [0,1] HWC array -> 8-bit PNG/JPEG on disk."""
+    """HWC array -> 8-bit PNG/JPEG on disk. Accepts float [0,1] or uint8
+    (device-quantized, SDPipeline output_uint8)."""
     from PIL import Image
 
-    arr = np.clip(np.asarray(img, np.float32), 0.0, 1.0)
-    Image.fromarray((arr * 255).astype(np.uint8)).save(path)
+    arr = np.asarray(img)
+    if arr.dtype != np.uint8:
+        arr = (np.clip(arr.astype(np.float32), 0.0, 1.0) * 255).astype(np.uint8)
+    Image.fromarray(arr).save(path)
 
 
 def iter_images(directory: str):
