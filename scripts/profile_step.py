@@ -106,6 +106,8 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, default=5)
     p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--grad-accum", type=int, default=1,
+                   help="profile the accumulated step ([accum, batch, ...] input)")
     p.add_argument("--upper", action="store_true", help="profile the upper step instead")
     p.add_argument("--logdir", default="/tmp/jax_step_trace")
     p.add_argument("--smoke", action="store_true")
@@ -133,7 +135,7 @@ def main():
     bargs = argparse.Namespace(
         smoke=args.smoke, resolution=512, keep_ratio=0.55, remat=True,
         remat_policy=None, lower_only=False, opt_precision="bf16",
-        in_loop_vae=False, precomputed_latents=True,
+        in_loop_vae=False, precomputed_latents=True, grad_accum=args.grad_accum,
     )
     (step, upper_step, _cad), (tx, upper_tx), student_params, teacher_params, vae_params, \
         resolution, seq, xdim, _ = bench.build(bargs)
@@ -154,6 +156,10 @@ def main():
         "latent_moments": jnp.asarray(rng.standard_normal((bs, lat, lat, 8)), jnp.float32),
         "prompt_embeds": jnp.asarray(rng.standard_normal((bs, seq, xdim)), jnp.float32),
     }
+    if args.grad_accum > 1:
+        batch = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (args.grad_accum,) + x.shape), batch
+        )
     fn, state = (step, opt_state)
     if args.upper:
         fn, state = (upper_step, upper_tx.init(params))

@@ -267,7 +267,12 @@ class PruningPipeline(SDPipeline):
         height: int = 512,
         width: int = 512,
         seed: int = 0,
+        safety_checker=None,
     ):
+        """Routed sampling. With ``safety_checker`` (pipelines.SafetyChecker)
+        flagged images are blacked out and the per-image nsfw flags are
+        appended to the return tuple — run_safety_checker semantics
+        (pruning_pipelines.py:840-857)."""
         structure, idx = self.route(mpnet_embeddings)
         images = self.generate_samples(
             prompt_embeds, empty_prompt_embeds, num_inference_steps, guidance_scale,
@@ -276,6 +281,9 @@ class PruningPipeline(SDPipeline):
         macs = macs_lib.calc_macs(self.unet.spec, structure)
         full = macs_lib.calc_macs(self.unet.spec, self.layout.ones(1))["cur_prunable"][0]
         ratios = np.asarray(macs["cur_prunable"] / full)
+        if safety_checker is not None:
+            images, has_nsfw = safety_checker(np.asarray(images))
+            return images, np.asarray(idx), ratios, has_nsfw
         return images, np.asarray(idx), ratios
 
     def quantizer_samples(self, prompt_embeds, empty_prompt_embeds, expert_ids=None,
