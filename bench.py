@@ -569,7 +569,20 @@ def run_gen(args):
             pe, empty, steps, 7.5, resolution, resolution, i + 1, output_uint8=True
         )
     dt = time.perf_counter() - t0
-    return bs * n_rounds / dt
+    ips = bs * n_rounds / dt
+    mfu = None
+    if not args.smoke:
+        # denoise-loop FLOPs only (CFG doubles the batch: 2 student fwds per
+        # step); the VAE decode (~1 fwd per 25-step loop) is not in the
+        # analytic tables, so this slightly UNDERcounts — mfu is a floor
+        from unlearn_ft_tpu.utils import macs as macs_lib
+
+        s_macs = macs_lib.unet_macs(sspec, seq_kv=seq)["total"]
+        flops_per_image = 2.0 * s_macs * 2.0 * steps
+        mfu = ips * flops_per_image / 197e12
+        print(f"# gen MFU >= {100*mfu:.1f}% ({flops_per_image/1e12:.2f} "
+              f"TFLOPs/image denoise-only)", file=sys.stderr)
+    return ips, mfu
 
 
 def main():
@@ -654,13 +667,16 @@ def main():
         return
 
     if args.gen:
-        value = run_gen(args)
-        print(json.dumps({
+        value, mfu = run_gen(args)
+        out = {
             "metric": "gen_512px_images_per_sec",
             "value": round(float(value), 4),
             "unit": "images/sec/chip",
             "vs_baseline": round(float(value) / 1.0, 4),  # ~1 img/s/GPU reference est.
-        }))
+        }
+        if mfu is not None:
+            out["mfu"] = round(float(mfu), 4)  # denoise-only FLOPs: a floor
+        print(json.dumps(out))
         return
 
     value, mfu = run(args)

@@ -55,6 +55,16 @@ def main(argv=None):
 
     os.makedirs(args.save_dir, exist_ok=True)
     empty = pipe.encode_prompts([""] * args.batch_size)
+    pending = None  # (device images, captions): double buffer — the device
+    # computes batch N+1 while the host fetches/writes batch N's .npy files
+
+    def flush(p):
+        imgs, caps = p
+        imgs = np.asarray(imgs)
+        for j, cap in enumerate(caps):
+            name = cap.replace("/", " ").strip()[:180]
+            np.save(os.path.join(args.save_dir, f"{name}.npy"), imgs[j])
+
     for i in range(0, len(captions), args.batch_size):
         chunk = captions[i : i + args.batch_size]
         pe = pipe.encode_prompts(chunk + [""] * (args.batch_size - len(chunk)))
@@ -62,11 +72,14 @@ def main(argv=None):
             pe, empty, args.num_inference_steps, args.guidance_scale,
             args.resolution, args.resolution, seed=args.seed + i,
             output_uint8=True,  # quantized on device: 4x smaller host fetch
+            device_output=True,
         )
-        for j, cap in enumerate(chunk):
-            name = cap.replace("/", " ").strip()[:180]
-            np.save(os.path.join(args.save_dir, f"{name}.npy"), imgs[j])
+        if pending is not None:
+            flush(pending)
+        pending = (imgs[: len(chunk)], chunk)
         print(f"[{jax.process_index()}] {i + len(chunk)}/{len(captions)}", flush=True)
+    if pending is not None:
+        flush(pending)
 
 
 if __name__ == "__main__":

@@ -110,3 +110,20 @@ def test_generate_samples_uint8_output(pipe_parts):
     u = pipe.generate_samples(pe, pe, output_uint8=True, **kw)
     assert u.dtype == np.uint8
     np.testing.assert_array_equal(u, np.round(f * 255.0).astype(np.uint8))
+
+
+def test_generate_samples_device_output(pipe_parts):
+    """device_output returns the (async) device array without a host fetch —
+    the double-buffered FID/eval writers dispatch batch N+1 before fetching
+    batch N — and matches the fetched path bit-for-bit."""
+    import jax
+
+    cfg, spec, layout, unet, uparams, vae, vparams, sched = pipe_parts
+    pipe = SDPipeline(unet, uparams, vae, vparams, sched, scheduler_type="ddim")
+    pe = jnp.zeros((2, 7, 16))
+    kw = dict(num_inference_steps=4, guidance_scale=7.5, height=32, width=32,
+              seed=3, output_uint8=True)
+    host = pipe.generate_samples(pe, pe, **kw)
+    dev = pipe.generate_samples(pe, pe, device_output=True, **kw)
+    assert isinstance(dev, jax.Array)
+    np.testing.assert_array_equal(np.asarray(dev), host)

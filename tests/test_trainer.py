@@ -298,3 +298,76 @@ def test_image_logging_steps_cadence():
         # log_samples itself — the standalone image log is skipped at 4)
         assert calls["samples"] == 2, calls
         assert calls["validate"] == 1, calls
+
+
+def test_resolve_learning_rate_keys_and_scale_lr():
+    """Reference config-key parity: the bilevel upper LR reads
+    prediction_model_upper_learning_rate (trainer.py:2688) with our legacy
+    unet_unlearning_learning_rate spelling as fallback; scale_lr applies the
+    sqrt rule over grad_accum x batch x world (trainer.py:870-884)."""
+    from unlearn_ft_tpu.training.trainer import resolve_learning_rate
+    from unlearn_ft_tpu.utils.config import Config
+
+    ref = Config.wrap({"training": {"optim": {
+        "prediction_model_upper_learning_rate": 5e-6,
+    }}})
+    keys = ("prediction_model_upper_learning_rate", "unet_unlearning_learning_rate")
+    assert resolve_learning_rate(ref, keys) == 5e-6
+    legacy = Config.wrap({"training": {"optim": {
+        "unet_unlearning_learning_rate": 7e-6,
+    }}})
+    assert resolve_learning_rate(legacy, keys) == 7e-6
+    # first key wins when both are present
+    both = Config.wrap({"training": {"optim": {
+        "prediction_model_upper_learning_rate": 5e-6,
+        "unet_unlearning_learning_rate": 7e-6,
+    }}})
+    assert resolve_learning_rate(both, keys) == 5e-6
+    # default when neither is present
+    assert resolve_learning_rate(Config.wrap({}), keys) == 1e-6
+
+    scaled = Config.wrap({
+        "training": {"optim": {"prediction_model_learning_rate": 1e-4,
+                               "scale_lr": True}},
+        "data": {"dataloader": {"train_batch_size": 8}},
+    })
+    got = resolve_learning_rate(scaled, "prediction_model_learning_rate", grad_accum=2)
+    np.testing.assert_allclose(got, 1e-4 * np.sqrt(2 * 8 * 1), rtol=1e-12)
+
+
+def test_derive_max_train_steps_from_epochs():
+    """training.num_train_epochs fills in max_train_steps from the loader
+    length / grad_accum (reference update_config_params, trainer.py:445-450)."""
+    from unlearn_ft_tpu.training.trainer import BaseTrainer
+    from unlearn_ft_tpu.utils.config import Config
+
+    class FakeLoader:
+        def __len__(self):
+            return 7  # batches per epoch
+
+    t = BaseTrainer.__new__(BaseTrainer)
+    t.config = Config.wrap({"training": {"num_train_epochs": 3}})
+    t.grad_accum = 2
+    t.train_loader = FakeLoader()
+    t._derive_max_train_steps()
+    assert t.config.training.max_train_steps == 3 * 4  # ceil(7/2) = 4
+
+    # explicit max_train_steps wins
+    t.config = Config.wrap({"training": {"num_train_epochs": 3,
+                                         "max_train_steps": 5}})
+    t._derive_max_train_steps()
+    assert t.config.training.max_train_steps == 5
+
+
+def test_sample_prompts_cap():
+    """data.max_generated_samples caps the sample-logging prompt list
+    (reference trainer.py:432-434)."""
+    from unlearn_ft_tpu.training.trainer import BaseTrainer
+    from unlearn_ft_tpu.utils.config import Config
+
+    t = BaseTrainer.__new__(BaseTrainer)
+    t.config = Config.wrap({"data": {"prompts": ["a", "b", "c"],
+                                     "max_generated_samples": 2}})
+    assert t.sample_prompts() == ["a", "b"]
+    t.config = Config.wrap({"data": {"prompts": ["a", "b", "c"]}})
+    assert t.sample_prompts() == ["a", "b", "c"]

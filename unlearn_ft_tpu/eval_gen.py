@@ -211,11 +211,23 @@ def generate_prompt_images(
     written: List[str] = []
     f = pipe.vae_scale_factor
     lat_hw = resolution // f
+    pending = None  # (device images, paths): double buffer — the device
+    # computes batch N+1 while the host fetches/encodes batch N's PNGs
+    done = 0
+
+    def flush(p):
+        imgs, paths = p
+        imgs = np.asarray(imgs)
+        for j, path in enumerate(paths):
+            save_image(imgs[j], path)
+            written.append(path)
+
     for start in range(0, len(positions), batch_size):
         chunk = positions[start : start + batch_size]
         paths = [os.path.join(save_dir, f"{prefix}{global_ids[i]:05d}.png") for i in chunk]
         if skip_existing and all(os.path.exists(p) for p in paths):
             written.extend(paths)
+            done += len(chunk)
             continue
         pad = batch_size - len(chunk)
         pe = pipe.encode_prompts([prompts[i] for i in chunk] + [""] * pad)
@@ -232,11 +244,13 @@ def generate_prompt_images(
             ] + [jnp.zeros((pad, lat_hw, lat_hw, pipe.unet.spec.in_channels))] * (1 if pad else 0))
         imgs = pipe.generate_samples(
             pe, empty, num_inference_steps, guidance_scale, resolution, resolution,
-            seed=seed + start, latents=latents, output_uint8=True,
+            seed=seed + start, latents=latents, output_uint8=True, device_output=True,
         )
-        for j, path in enumerate(paths):
-            save_image(imgs[j], path)
-            written.append(path)
-        print(f"[{jax.process_index()}] generated {start + len(chunk)}/{len(positions)}",
-              flush=True)
+        if pending is not None:
+            flush(pending)
+        pending = (imgs[: len(chunk)], paths)
+        done += len(chunk)
+        print(f"[{jax.process_index()}] generated {done}/{len(positions)}", flush=True)
+    if pending is not None:
+        flush(pending)
     return written

@@ -183,6 +183,7 @@ class SDPipeline:
         latents: Optional[jnp.ndarray] = None,
         added_cond: Optional[dict] = None,
         output_uint8: bool = False,
+        device_output: bool = False,
     ) -> np.ndarray:
         """Fixed-architecture sampling (generate_samples,
         pruning_pipelines.py:867-1010; the FID-generation path). Explicit
@@ -190,7 +191,10 @@ class SDPipeline:
         benchmark CSVs carry an evaluation_seed per row). ``added_cond`` is
         SDXL micro-conditioning, 2B-shaped like the CFG context ([uncond;
         cond] — see sdxl_added_cond). ``output_uint8`` quantizes to uint8 on
-        device (4x smaller host fetch; the FID/eval writers save uint8)."""
+        device (4x smaller host fetch; the FID/eval writers save uint8).
+        ``device_output`` skips the host fetch and returns the (still
+        asynchronously computing) device array — the writers double-buffer:
+        dispatch batch N+1, then fetch/encode batch N while it computes."""
         b = prompt_embeds.shape[0]
         rng = jax.random.PRNGKey(seed)
         if latents is None:
@@ -201,7 +205,8 @@ class SDPipeline:
             latents, context, rng, num_inference_steps, float(guidance_scale),
             structure, added_cond=added_cond,
         )
-        return np.asarray(self._decode(x, as_uint8=output_uint8))
+        out = self._decode(x, as_uint8=output_uint8)
+        return out if device_output else np.asarray(out)
 
     def sample_progressive(self, prompt_embeds, empty_prompt_embeds, num_inference_steps=50,
                            guidance_scale=7.5, height=512, width=512, seed=0,

@@ -54,7 +54,13 @@ class BilevelFineTuneTrainer(FineTuneTrainer):
     def init_optimizers(self):
         super().init_optimizers()
         self.upper_tx = self.make_tx(
-            lr_key="unet_unlearning_learning_rate", wd_key="prediction_model_weight_decay"
+            # the reference bilevel configs name the upper LR
+            # prediction_model_upper_learning_rate (trainer.py:2688,
+            # configs/baselines/*_bilevel.yaml:107); accept the legacy
+            # unet_unlearning_learning_rate spelling as a fallback
+            lr_key=("prediction_model_upper_learning_rate",
+                    "unet_unlearning_learning_rate"),
+            wd_key="prediction_model_weight_decay",
         )
         self.upper_opt_state = self._place_opt_state(
             self.upper_tx.init(jax.tree.map(np.asarray, jax.device_get(self.params)))

@@ -499,7 +499,7 @@ class FineTuneTrainer(BaseTrainer):
     def log_samples(self):
         """Generate and save sample images for config prompts (reference
         generate_samples_from_prompts, trainer.py:2543)."""
-        prompts = self.config.get_path("data.prompts")
+        prompts = self.sample_prompts()
         if not prompts or self.text_params is None:
             return
         from ..pipelines import SDPipeline
@@ -520,8 +520,22 @@ class FineTuneTrainer(BaseTrainer):
         empty = pipe.encode_prompts([""] * len(prompts))
         res = int(self.config.get_path("model.prediction_model.resolution", 512))
         steps = int(self.config.get_path("training.num_inference_steps", 10))
-        imgs = pipe.generate_samples(pe, empty, steps, 7.5, res, res,
-                                     seed=self.seed + self.global_step)
+        # generation chunked by data.dataloader.image_generation_batch_size
+        # (reference trainer.py:708-710); the last chunk pads to the chunk
+        # size so the denoise loop keeps ONE compiled shape, then is sliced
+        gbs = int(self.config.get_path(
+            "data.dataloader.image_generation_batch_size", 0) or 0) or len(prompts)
+        chunks = []
+        for s in range(0, len(prompts), gbs):
+            cpe, cem = pe[s:s + gbs], empty[s:s + gbs]
+            pad = gbs - cpe.shape[0]
+            if pad:
+                cpe = jnp.concatenate([cpe, jnp.repeat(cpe[-1:], pad, axis=0)])
+                cem = jnp.concatenate([cem, jnp.repeat(cem[-1:], pad, axis=0)])
+            out = pipe.generate_samples(cpe, cem, steps, 7.5, res, res,
+                                        seed=self.seed + self.global_step + s)
+            chunks.append(out[: gbs - pad] if pad else out)
+        imgs = np.concatenate(chunks, axis=0)
         out_dir = os.path.join(self.logging_dir, f"samples-{self.global_step}")
         os.makedirs(out_dir, exist_ok=True)
         from ..utils.image_io import save_image

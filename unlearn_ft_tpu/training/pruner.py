@@ -260,7 +260,7 @@ class PruningTrainer(FineTuneTrainer):
         """Save (a) per-expert sample grids from the codebook architectures
         and (b) hypernet-routed samples for `data.prompts` under the run dir
         (reference trainer.py:1375-1470)."""
-        prompts = self.config.get_path("data.prompts")
+        prompts = self.sample_prompts()
         if not prompts:
             return
         pipe = self.get_pipeline()

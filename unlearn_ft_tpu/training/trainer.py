@@ -56,6 +56,28 @@ def unet_config_from(config: Config) -> UNetConfig:
     return UNetConfig(**kwargs)
 
 
+def resolve_learning_rate(config: Config, lr_key, grad_accum: int = 1) -> float:
+    """LR from the first present ``training.optim.<key>`` (``lr_key`` may be a
+    tuple of fallback spellings), with the reference's optional sqrt scaling
+    rule: under ``training.optim.scale_lr`` the LR scales by
+    sqrt(grad_accum x per-process batch x world size) (init_optimizer,
+    trainer.py:870-884; the loader batch here is per-process)."""
+    g = config.get_path
+    keys = (lr_key,) if isinstance(lr_key, str) else tuple(lr_key)
+    lr = next(
+        (v for v in (g(f"training.optim.{k}") for k in keys) if v is not None),
+        1e-6,
+    )
+    if g("training.optim.scale_lr"):
+        scaling = (
+            max(1, int(grad_accum))
+            * int(g("data.dataloader.train_batch_size", 8))
+            * jax.process_count()
+        )
+        lr = float(lr) * float(np.sqrt(scaling))
+    return float(lr)
+
+
 def load_diffusers_unet(path: str, spec):
     from ..models.convert import convert_unet, load_torch_state_dict
 
@@ -101,8 +123,30 @@ class BaseTrainer:
 
         self.init_models()
         self.init_datasets()
+        self._derive_max_train_steps()
         self.init_optimizers()
         self.make_steps()
+
+    def _derive_max_train_steps(self):
+        """With no ``training.max_train_steps``, derive it from
+        ``training.num_train_epochs`` x ceil(batches-per-epoch / grad_accum)
+        (reference update_config_params, trainer.py:445-450) — BEFORE the
+        optimizers so decaying LR schedules see the real total_steps."""
+        cfg = self.config
+        if cfg.get_path("training.max_train_steps") is not None:
+            return
+        epochs = cfg.get_path("training.num_train_epochs")
+        loader = getattr(self, "train_loader", None)
+        if not epochs or loader is None or len(loader) == 0:
+            return
+        import math
+
+        per_epoch = math.ceil(len(loader) / self.grad_accum)
+        cfg["training"]["max_train_steps"] = int(epochs) * per_epoch
+        logger.info(
+            "derived max_train_steps=%d from num_train_epochs=%s (%d update "
+            "steps/epoch)", cfg.training.max_train_steps, epochs, per_epoch,
+        )
 
     # ---- config plumbing ---------------------------------------------------
     def _make_loss_config(self) -> LossConfig:
@@ -130,6 +174,8 @@ class BaseTrainer:
 
     def make_tx(self, lr_key="prediction_model_learning_rate",
                 wd_key="prediction_model_weight_decay"):
+        """``lr_key`` may be a tuple of config keys tried in order (the
+        reference renamed the bilevel upper LR across configs)."""
         g = self.config.get_path
         # training.optim.moment_dtype: fp32 (reference AdamW precision) or
         # bf16 (half optimizer-state HBM; second moment uses stochastic
@@ -137,8 +183,9 @@ class BaseTrainer:
         # bilevel mix's two states at batch 16 on a 16GB v5e chip.
         moment_dtype = g("training.optim.moment_dtype", "fp32")
         low = str(moment_dtype).replace("bfloat16", "bf16") == "bf16"
+        lr = resolve_learning_rate(self.config, lr_key, self.grad_accum)
         return make_optimizer(
-            learning_rate=float(g(f"training.optim.{lr_key}", 1e-6)),
+            learning_rate=float(lr),
             weight_decay=float(g(f"training.optim.{wd_key}", 0.0) or 0.0),
             beta1=float(g("training.optim.adam_beta1", 0.9)),
             beta2=float(g("training.optim.adam_beta2", 0.999)),
@@ -321,3 +368,12 @@ class BaseTrainer:
 
     def log_samples(self):
         pass
+
+    def sample_prompts(self):
+        """`data.prompts` capped at `data.max_generated_samples` (reference
+        trainer.py:432-434 slices the prompt list the same way)."""
+        prompts = self.config.get_path("data.prompts") or []
+        maxg = self.config.get_path("data.max_generated_samples")
+        if maxg:
+            prompts = list(prompts)[: int(maxg)]
+        return list(prompts)
