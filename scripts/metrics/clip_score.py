@@ -12,10 +12,14 @@ import numpy as np
 
 def main(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("--image_dir", required=True, help=".npy uint8 images named by caption")
+    p.add_argument("--image_dir", required=True,
+                   help=".npy uint8 images named by COCO image stem "
+                        "(generate_fid_images.py output)")
     p.add_argument("--text_features_dir", default=None,
-                   help="precomputed text features (clip_features.py); if absent, "
-                        "captions are taken from the image filenames")
+                   help="precomputed text features keyed by the same image stems "
+                        "(clip_features.py over save_captions.py output). If absent, "
+                        "image filenames are treated as the captions themselves — "
+                        "only valid for caption-named dirs.")
     p.add_argument("--clip_model", default="openai/clip-vit-base-patch32")
     p.add_argument("--batch_size", type=int, default=64)
     args = p.parse_args(argv)

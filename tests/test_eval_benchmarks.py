@@ -311,3 +311,48 @@ def test_artist_csv_loader(tmp_path):
     assert prompts == ["p one", "p two"]
     assert seeds == [5, 0]
     assert guidance == [9.0, 7.5]
+
+
+def test_generate_fid_images_stem_naming_and_config_defaults(eval_env, tmp_path):
+    """FID-image chain protocol: outputs are named by the COCO image stem so
+    they pair with save_captions.py/clip_features.py keys (the reference's
+    convention, generate_fid_images.py:146-150), and --base_config_path
+    supplies data_dir / num_inference_steps (reference :35-56)."""
+    coco = tmp_path / "coco"
+    (coco / "annotations").mkdir(parents=True)
+    ann = {
+        "images": [
+            {"id": 1, "file_name": "000000000001.jpg"},
+            {"id": 2, "file_name": "000000000002.jpg"},
+            {"id": 3, "file_name": "000000000003.jpg"},
+        ],
+        "annotations": [
+            {"image_id": 1, "caption": "a cat"},
+            {"image_id": 1, "caption": "another cat caption"},  # deduped
+            {"image_id": 2, "caption": "a dog"},
+            {"image_id": 3, "caption": "a bird"},
+        ],
+    }
+    (coco / "annotations" / "captions_val2017.json").write_text(json.dumps(ann))
+
+    img_cfg = tmp_path / "img.yaml"
+    img_cfg.write_text(
+        "data:\n  data_dir: %s\n  year: 2017\ntraining:\n  num_inference_steps: 2\n"
+        % coco
+    )
+
+    _load_cli("generate_fid_images").main([
+        "--finetuning_ckpt_dir", eval_env["checkpoint_dir"],  # reference alias
+        "--pretrained_root", eval_env["sd_root"],
+        "--base_config_path", str(img_cfg),
+        "--resolution", "16",
+        "--batch_size", "2",
+    ])
+    # default save_dir: <checkpoint_dir>/coco_fid_images_<steps>
+    out_dir = os.path.join(eval_env["checkpoint_dir"], "coco_fid_images_2")
+    files = sorted(os.listdir(out_dir))
+    assert files == [
+        "000000000001.npy", "000000000002.npy", "000000000003.npy"
+    ]
+    img = np.load(os.path.join(out_dir, files[0]))
+    assert img.dtype == np.uint8 and img.shape == (16, 16, 3)
