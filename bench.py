@@ -112,13 +112,50 @@ def build(args):
     nu_dtype = jnp.bfloat16 if prec == "bf16" else None
     ga = max(1, int(getattr(args, "grad_accum", 1) or 1))
     tx = make_optimizer(1e-6, mu_dtype=mu_dtype, nu_dtype=nu_dtype)
-    step = make_finetune_step(student_mod, teacher_mod, vae, sched, loss_cfg, tx,
-                              grad_accum=ga)
     # upper optimizer: reference bilevel config (unet_unlearning_learning_rate
     # 5e-6, configs/baselines/sd-2-1_coco_aptp_both_512_bilevel.yaml)
     upper_tx = make_optimizer(5e-6, mu_dtype=mu_dtype, nu_dtype=nu_dtype)
-    upper_step = make_upper_step(student_mod, teacher_mod, vae, sched, loss_cfg,
-                                 upper_tx, grad_accum=ga)
+    packed_specs = None
+    use_packed = getattr(args, "packed", False) and not getattr(args, "fused_cadence", False)
+    if use_packed:
+        # flat-buffer step boundary: ~2500 arg leaves -> a handful of buffers
+        # (measured ~9us/buffer dispatch bookkeeping through the v5e tunnel;
+        # see utils/packing.py)
+        from unlearn_ft_tpu.training.steps import (
+            make_packed_finetune_step,
+            make_packed_upper_step,
+        )
+        from unlearn_ft_tpu.utils.packing import make_pack_spec
+
+        frozen_dt = jnp.float32 if args.smoke else jnp.bfloat16
+        sds = lambda tree, dt: jax.tree.map(  # noqa: E731
+            lambda x: jax.ShapeDtypeStruct(x.shape, dt), tree)
+        # partial packing: leaves above the threshold ride through as
+        # individual buffers — bounds the unpack/repack copies (full packing
+        # of the 508M-param tree OOMed batch 8: ~+6GB of copies)
+        thr = int(getattr(args, "pack_threshold", 2 * 1024 * 1024))
+        p_sds = sds(student_params, jnp.float32)
+        param_spec = make_pack_spec(p_sds, max_leaf_bytes=thr)
+        opt_spec = make_pack_spec(jax.eval_shape(tx.init, p_sds), max_leaf_bytes=thr)
+        upper_opt_spec = make_pack_spec(jax.eval_shape(upper_tx.init, p_sds),
+                                        max_leaf_bytes=thr)
+        frozen_spec = make_pack_spec({
+            "teacher": sds(teacher_params, frozen_dt),
+            "vae": sds(vae_params, frozen_dt),
+        }, max_leaf_bytes=thr)
+        packed_specs = {"param": param_spec, "opt": opt_spec,
+                        "upper_opt": upper_opt_spec, "frozen": frozen_spec}
+        step = make_packed_finetune_step(
+            student_mod, teacher_mod, vae, sched, loss_cfg, tx,
+            param_spec, opt_spec, frozen_spec, grad_accum=ga)
+        upper_step = make_packed_upper_step(
+            student_mod, teacher_mod, vae, sched, loss_cfg, upper_tx,
+            param_spec, upper_opt_spec, frozen_spec, grad_accum=ga)
+    else:
+        step = make_finetune_step(student_mod, teacher_mod, vae, sched, loss_cfg,
+                                  tx, grad_accum=ga)
+        upper_step = make_upper_step(student_mod, teacher_mod, vae, sched, loss_cfg,
+                                     upper_tx, grad_accum=ga)
     cadence_step = None
     if getattr(args, "fused_cadence", False):
         from unlearn_ft_tpu.training.steps import make_bilevel_cadence_step
@@ -153,7 +190,8 @@ def build(args):
         # not a 197-TFLOPs-peak device — either way MFU would mislead
         flops_per_sample = None
     return (step, upper_step, cadence_step), (tx, upper_tx), student_params, \
-        teacher_params, vae_params, resolution, seq, xdim, flops_per_sample
+        teacher_params, vae_params, resolution, seq, xdim, flops_per_sample, \
+        packed_specs
 
 
 def run(args):
@@ -161,7 +199,7 @@ def run(args):
     import jax.numpy as jnp
 
     (step, upper_step, cadence_step), (tx, upper_tx), student_params, teacher_params, \
-        vae_params, resolution, seq, xdim, flops_per_sample = build(args)
+        vae_params, resolution, seq, xdim, flops_per_sample, packed_specs = build(args)
 
     # largest-first; first success wins. The bilevel mix holds two AdamW
     # states over the 508M-param student: measured ceiling on one 16GB v5e
@@ -196,19 +234,41 @@ def run(args):
 
     print("# transferring params to device...", file=sys.stderr, flush=True)
     t0 = time.perf_counter()
-    frozen = {
-        "teacher": put(teacher_params, frozen_dtype),
-        "vae": put(vae_params, frozen_dtype),
-    }
+    if packed_specs is not None:
+        # pack on host -> device_put a handful of bulk buffers (the per-leaf
+        # transfer of the ~900-leaf frozen trees costs tunnel round trips)
+        from unlearn_ft_tpu.utils.packing import pack, pack_host, unpack
+
+        frozen = jax.device_put(pack_host(
+            {"teacher": teacher_params, "vae": vae_params},
+            packed_specs["frozen"],
+        ))
+        jax.block_until_ready(frozen)
+    else:
+        frozen = {
+            "teacher": put(teacher_params, frozen_dtype),
+            "vae": put(vae_params, frozen_dtype),
+        }
     print(f"# transfer done in {time.perf_counter()-t0:.1f}s", file=sys.stderr, flush=True)
 
     for bs in batch_sizes:
         try:
             # student params live on host between batch sizes (the step
             # donates them; an extra device-resident master copy OOMs)
-            params = put(student_params, np.float32)
-            opt_state = tx.init(params)
-            upper_opt_state = None if args.lower_only else upper_tx.init(params)
+            if packed_specs is not None:
+                pspec = packed_specs["param"]
+                params = jax.device_put(pack_host(student_params, pspec))
+                opt_state = jax.jit(
+                    lambda fp: pack(tx.init(unpack(fp, pspec)), packed_specs["opt"])
+                )(params)
+                upper_opt_state = None if args.lower_only else jax.jit(
+                    lambda fp: pack(upper_tx.init(unpack(fp, pspec)),
+                                    packed_specs["upper_opt"])
+                )(params)
+            else:
+                params = put(student_params, np.float32)
+                opt_state = tx.init(params)
+                upper_opt_state = None if args.lower_only else upper_tx.init(params)
             if args.precomputed_latents:
                 lat = resolution // 8 if not args.smoke else 8
                 batch = {
@@ -423,17 +483,29 @@ def run_prune(args):
 
     sched = DiffusionSchedule()
     tx = make_optimizer(1e-3)  # reference hypernet_learning_rate
-    step = make_pruner_step(
-        unet, hypernet, qcfg, vae, layout, spec, sched, LossConfig(), tx, seq_kv=seq
-    )
 
     import ml_dtypes
 
     frozen_np = np.float32 if args.smoke else ml_dtypes.bfloat16
-    frozen = {
-        "unet": jax.device_put(jax.tree.map(lambda x: x.astype(frozen_np), unet_params)),
-        "vae": jax.device_put(jax.tree.map(lambda x: x.astype(frozen_np), vae_params)),
+    frozen_host = {
+        "unet": jax.tree.map(lambda x: x.astype(frozen_np), unet_params),
+        "vae": jax.tree.map(lambda x: x.astype(frozen_np), vae_params),
     }
+    frozen_spec = None
+    if getattr(args, "packed", False):
+        # the trainable hypernet/quantizer trees are tiny; the frozen gated
+        # U-Net is the ~900-buffer dispatch cost (utils/packing.py)
+        from unlearn_ft_tpu.utils.packing import make_pack_spec, pack_host
+
+        thr = int(getattr(args, "pack_threshold", 2 * 1024 * 1024))
+        frozen_spec = make_pack_spec(frozen_host, max_leaf_bytes=thr)
+        frozen = jax.device_put(pack_host(frozen_host, frozen_spec))
+    else:
+        frozen = jax.device_put(frozen_host)
+    step = make_pruner_step(
+        unet, hypernet, qcfg, vae, layout, spec, sched, LossConfig(), tx, seq_kv=seq,
+        frozen_spec=frozen_spec,
+    )
     # teacher fwd + gated fwd + input-only backward (~1x fwd: frozen weights
     # contribute no dW matmuls) -> ~3 full-U-Net forwards of model FLOPs
     flops_per_sample = None if args.smoke else 2.0 * 3.0 * table["total"]
@@ -627,6 +699,21 @@ def main():
                         "accum 2 is the reference bilevel config's effective "
                         "batch 16/chip (and faster: fewer AdamW updates per "
                         "sample). Other modes default to 1.")
+    p.add_argument("--packed", action=argparse.BooleanOptionalAction, default=False,
+                   help="flat-buffer step boundary (utils/packing.py): pack the "
+                        "~2500 param/opt/frozen leaf buffers into a few flat "
+                        "per-dtype buffers and unpack inside the jitted step — "
+                        "removes the ~9us/buffer per-dispatch bookkeeping "
+                        "(~76ms/step at batch 8 x accum 2). Measured on v5e: "
+                        "36.6 samples/s, 46.4% MFU vs the tree boundary's "
+                        "39.9 / 50.6% — the unpack/repack HBM copies cost more "
+                        "than the dispatch they save at this model size, so "
+                        "the default is OFF (it wins only for step programs "
+                        "that are dispatch-bound, e.g. much smaller models).")
+    p.add_argument("--pack-threshold", type=int, default=2 * 1024 * 1024,
+                   help="only pack leaves up to this many bytes (larger ones "
+                        "pass through as individual buffers); bounds the "
+                        "unpack/repack HBM copies to ~0.3GB at the default")
     args = p.parse_args()
     if args.grad_accum is None:
         # bilevel training mode defaults to the reference's effective batch

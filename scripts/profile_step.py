@@ -108,6 +108,8 @@ def main():
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--grad-accum", type=int, default=1,
                    help="profile the accumulated step ([accum, batch, ...] input)")
+    p.add_argument("--packed", action="store_true",
+                   help="profile the flat-buffer (packed-dispatch) step")
     p.add_argument("--upper", action="store_true", help="profile the upper step instead")
     p.add_argument("--logdir", default="/tmp/jax_step_trace")
     p.add_argument("--smoke", action="store_true")
@@ -136,19 +138,31 @@ def main():
         smoke=args.smoke, resolution=512, keep_ratio=0.55, remat=True,
         remat_policy=None, lower_only=False, opt_precision="bf16",
         in_loop_vae=False, precomputed_latents=True, grad_accum=args.grad_accum,
+        packed=args.packed,
     )
     (step, upper_step, _cad), (tx, upper_tx), student_params, teacher_params, vae_params, \
-        resolution, seq, xdim, _ = bench.build(bargs)
+        resolution, seq, xdim, _, packed_specs = bench.build(bargs)
 
     import ml_dtypes
 
     def put(tree, dt):
         return jax.device_put(jax.tree.map(lambda x: np.asarray(x).astype(dt), tree))
 
-    frozen_dt = np.float32 if args.smoke else ml_dtypes.bfloat16
-    frozen = {"teacher": put(teacher_params, frozen_dt), "vae": put(vae_params, frozen_dt)}
-    params = put(student_params, np.float32)
-    opt_state = tx.init(params)
+    if packed_specs is not None:
+        from unlearn_ft_tpu.utils.packing import pack, pack_host, unpack
+
+        frozen = jax.device_put(pack_host(
+            {"teacher": teacher_params, "vae": vae_params}, packed_specs["frozen"]))
+        params = jax.device_put(pack_host(student_params, packed_specs["param"]))
+        pspec = packed_specs["param"]
+        opt_state = jax.jit(
+            lambda fp: pack(tx.init(unpack(fp, pspec)), packed_specs["opt"])
+        )(params)
+    else:
+        frozen_dt = np.float32 if args.smoke else ml_dtypes.bfloat16
+        frozen = {"teacher": put(teacher_params, frozen_dt), "vae": put(vae_params, frozen_dt)}
+        params = put(student_params, np.float32)
+        opt_state = tx.init(params)
     rng = np.random.default_rng(0)
     bs = args.batch_size if not args.smoke else 2
     lat = resolution // 8 if not args.smoke else 8
@@ -162,7 +176,14 @@ def main():
         )
     fn, state = (step, opt_state)
     if args.upper:
-        fn, state = (upper_step, upper_tx.init(params))
+        if packed_specs is not None:
+            ustate = jax.jit(
+                lambda fp: pack(upper_tx.init(unpack(fp, packed_specs["param"])),
+                                packed_specs["upper_opt"])
+            )(params)
+        else:
+            ustate = upper_tx.init(params)
+        fn, state = (upper_step, ustate)
         batch = dict(batch)
         batch["empty_prompt_embeds"] = jnp.zeros_like(batch["prompt_embeds"])
     print("# warmup/compile...", file=sys.stderr, flush=True)

@@ -371,3 +371,97 @@ def test_sample_prompts_cap():
     assert t.sample_prompts() == ["a", "b"]
     t.config = Config.wrap({"data": {"prompts": ["a", "b", "c"]}})
     assert t.sample_prompts() == ["a", "b", "c"]
+
+
+def test_bilevel_trainer_packed_dispatch_matches_tree():
+    """training.packed_dispatch must be a pure dispatch-layer change: the
+    packed bilevel run reproduces the tree run's losses exactly (same seed,
+    same synthetic batches). Threshold forces MIXED packing (flat + rest)."""
+    from unlearn_ft_tpu.training.bilevel import BilevelFineTuneTrainer
+
+    rows = {}
+    for mode in ("tree", "packed"):
+        with tempfile.TemporaryDirectory() as tmp:
+            cfg = _config(tmp)
+            cfg.training.max_train_steps = 4
+            if mode == "packed":
+                cfg.merge({"training": {"packed_dispatch": True,
+                                        "pack_threshold": 4096}})
+            t = BilevelFineTuneTrainer(cfg)
+            if mode == "packed":
+                assert t._packed and t._pk["param"].n_rest > 0
+                assert t._pk["param"].sizes  # genuinely mixed
+            t.train()
+            rows[mode] = _read_metrics(tmp)
+    assert len(rows["tree"]) == len(rows["packed"])
+    for a, b in zip(rows["tree"], rows["packed"]):
+        np.testing.assert_allclose(a["loss"], b["loss"], rtol=1e-6)
+        if "upper_loss" in a:
+            np.testing.assert_allclose(a["upper_loss"], b["upper_loss"], rtol=1e-6)
+
+
+def test_packed_dispatch_checkpoint_resume():
+    """Checkpoints written from a packed run hold plain param trees (same
+    on-disk format), and resume re-packs."""
+    from unlearn_ft_tpu.training.bilevel import BilevelFineTuneTrainer
+
+    with tempfile.TemporaryDirectory() as tmp:
+        cfg = _config(tmp)
+        cfg.training.max_train_steps = 2
+        cfg.training.checkpoint_steps = 2
+        cfg.merge({"training": {"packed_dispatch": True, "pack_threshold": 4096}})
+        t = BilevelFineTuneTrainer(cfg)
+        t.train()
+        assert t.ckpt.latest_step() == 2
+
+        cfg2 = _config(tmp)
+        cfg2.training.max_train_steps = 3
+        cfg2.training.logging.resume_from_checkpoint = "latest"
+        cfg2.merge({"training": {"packed_dispatch": True, "pack_threshold": 4096}})
+        t2 = BilevelFineTuneTrainer(cfg2)
+        t2.ckpt = t.ckpt
+        t2.maybe_resume()
+        assert t2.global_step == 2
+        # packed state round-tripped: params tree matches the checkpoint
+        a = t._host_tree(t.params, "param")
+        b = t2._host_tree(t2.params, "param")
+        import jax as _jax
+
+        for x, y in zip(_jax.tree.leaves(a), _jax.tree.leaves(b)):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_packed_dispatch_rejects_explicit_zero1():
+    """packed_dispatch + explicit ZeRO-1 moment sharding is a config error
+    (sharding a flat buffer would split unpack slices across shards)."""
+    from unlearn_ft_tpu.training.finetune import FineTuneTrainer
+
+    with tempfile.TemporaryDirectory() as tmp:
+        cfg = _config(tmp)
+        cfg.merge({"training": {"packed_dispatch": True,
+                                "optim": {"shard_optimizer_states": True}}})
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            FineTuneTrainer(cfg)
+
+
+def test_pruning_trainer_packed_dispatch_matches_tree():
+    """packed_dispatch on the pruning trainer (frozen-tower packing only)
+    reproduces the tree run's losses."""
+    from unlearn_ft_tpu.training.pruner import PruningTrainer
+
+    rows = {}
+    for mode in ("tree", "packed"):
+        with tempfile.TemporaryDirectory() as tmp:
+            cfg = _config(tmp)
+            cfg.training.max_train_steps = 2
+            if mode == "packed":
+                cfg.merge({"training": {"packed_dispatch": True,
+                                        "pack_threshold": 4096}})
+            t = PruningTrainer(cfg)
+            if mode == "packed":
+                assert t._frozen_spec is not None and t._frozen_spec.n_rest > 0
+            t.train()
+            rows[mode] = _read_metrics(tmp)
+    for a, b in zip(rows["tree"], rows["packed"]):
+        np.testing.assert_allclose(a["loss"], b["loss"], rtol=1e-6)
+        np.testing.assert_allclose(a["resource_ratio"], b["resource_ratio"], rtol=1e-6)

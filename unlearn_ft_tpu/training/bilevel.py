@@ -68,15 +68,37 @@ class BilevelFineTuneTrainer(FineTuneTrainer):
 
     def make_steps(self):
         super().make_steps()
-        self.upper_step_fn = make_upper_step(
-            self.student, self.teacher, self.vae, self.sched, self.loss_cfg,
-            self.upper_tx, grad_accum=self.grad_accum,
-        )
+        if getattr(self, "_packed", False):
+            from ..utils.packing import make_pack_spec, pack
+            from .steps import make_packed_upper_step
+
+            thr = int(self.config.get_path(
+                "training.pack_threshold", 2 * 1024 * 1024) or 0)
+            self._pk["upper_opt"] = make_pack_spec(
+                self.upper_opt_state, max_leaf_bytes=thr)
+            self.upper_opt_state = jax.jit(
+                lambda t: pack(t, self._pk["upper_opt"]))(self.upper_opt_state)
+            self.upper_step_fn = make_packed_upper_step(
+                self.student, self.teacher, self.vae, self.sched, self.loss_cfg,
+                self.upper_tx, self._pk["param"], self._pk["upper_opt"],
+                self._pk["frozen"], grad_accum=self.grad_accum,
+            )
+        else:
+            self.upper_step_fn = make_upper_step(
+                self.student, self.teacher, self.vae, self.sched, self.loss_cfg,
+                self.upper_tx, grad_accum=self.grad_accum,
+            )
         # opt-in fused cadence: the whole upper_step_freq-lower+1-upper window
         # is ONE lax.scan program — one device dispatch per window instead of
         # freq+1 (removes the per-step host launch gap; see
         # steps.make_bilevel_cadence_step). DreamBooth keeps its own path.
         self._fused = bool(self.config.get_path("training.fused_cadence", False))
+        if self._fused and getattr(self, "_packed", False):
+            logger.warning(
+                "training.fused_cadence is ignored under packed_dispatch "
+                "(the packed boundary already removes the per-step dispatch "
+                "gap, and measured fused+packed compute is slower)")
+            self._fused = False
         if self._fused:
             freq = int(self.config.get_path("training.upper_step_freq", 10) or 10)
             self.cadence_fn = make_bilevel_cadence_step(
@@ -176,9 +198,9 @@ class BilevelFineTuneTrainer(FineTuneTrainer):
     def save_checkpoint(self):
         self._flush_pending()
         tree = {
-            "params": jax.device_get(self.params),
-            "opt_state": jax.device_get(self.opt_state),
-            "upper_opt_state": jax.device_get(self.upper_opt_state),
+            "params": self._host_tree(self.params, "param"),
+            "opt_state": self._host_tree(self.opt_state, "opt"),
+            "upper_opt_state": self._host_tree(self.upper_opt_state, "upper_opt"),
             "step": self.global_step,
         }
         from .checkpoint import spec_to_json
@@ -198,15 +220,21 @@ class BilevelFineTuneTrainer(FineTuneTrainer):
         if step is None:
             return
         tree = {
-            "params": jax.device_get(self.params),
-            "opt_state": jax.device_get(self.opt_state),
-            "upper_opt_state": jax.device_get(self.upper_opt_state),
+            "params": self._host_tree(self.params, "param"),
+            "opt_state": self._host_tree(self.opt_state, "opt"),
+            "upper_opt_state": self._host_tree(self.upper_opt_state, "upper_opt"),
             "step": 0,
         }
         restored = self.ckpt.restore(step, tree)
-        self.params = replicate(restored["params"], self.mesh)
-        self.opt_state = self._place_opt_state(restored["opt_state"])
-        self.upper_opt_state = self._place_opt_state(restored["upper_opt_state"])
+        if getattr(self, "_packed", False):
+            self.params = self._pack_placed(restored["params"], "param")
+            self.opt_state = self._pack_placed(restored["opt_state"], "opt")
+            self.upper_opt_state = self._pack_placed(
+                restored["upper_opt_state"], "upper_opt")
+        else:
+            self.params = replicate(restored["params"], self.mesh)
+            self.opt_state = self._place_opt_state(restored["opt_state"])
+            self.upper_opt_state = self._place_opt_state(restored["upper_opt_state"])
         self.global_step = int(restored["step"])
         logger.info("resumed from checkpoint-%d", step)
 
@@ -345,16 +373,33 @@ class DreamBoothBilevelFineTuneTrainer(BilevelFineTuneTrainer):
 
     def make_steps(self):
         # upper step = DDPM loss on the DreamBooth pairs + prior term
-        from .steps import make_dreambooth_upper_step
+        from .steps import make_dreambooth_upper_step, make_packed_dreambooth_upper_step
 
         FineTuneTrainer.make_steps(self)
-        if hasattr(self, "upper_tx"):
+        if not hasattr(self, "upper_tx"):
+            return
+        plw = float(
+            self.config.get_path("training.dreambooth.prior_loss_weight", 1.0))
+        wpp = getattr(self, "with_prior", True)
+        if getattr(self, "_packed", False):
+            if "upper_opt" not in self._pk:  # idempotent across re-entry
+                from ..utils.packing import make_pack_spec, pack
+
+                thr = int(self.config.get_path(
+                    "training.pack_threshold", 2 * 1024 * 1024) or 0)
+                self._pk["upper_opt"] = make_pack_spec(
+                    self.upper_opt_state, max_leaf_bytes=thr)
+                self.upper_opt_state = jax.jit(
+                    lambda t: pack(t, self._pk["upper_opt"]))(self.upper_opt_state)
+            self._db_step = make_packed_dreambooth_upper_step(
+                self.student, self.vae, self.sched, self.loss_cfg, self.upper_tx,
+                self._pk["param"], self._pk["upper_opt"], self._pk["frozen"],
+                prior_loss_weight=plw, with_prior_preservation=wpp,
+            )
+        else:
             self._db_step = make_dreambooth_upper_step(
                 self.student, self.vae, self.sched, self.loss_cfg, self.upper_tx,
-                prior_loss_weight=float(
-                    self.config.get_path("training.dreambooth.prior_loss_weight", 1.0)
-                ),
-                with_prior_preservation=getattr(self, "with_prior", True),
+                prior_loss_weight=plw, with_prior_preservation=wpp,
             )
 
     def init_optimizers(self):

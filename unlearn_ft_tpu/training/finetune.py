@@ -419,11 +419,23 @@ class FineTuneTrainer(BaseTrainer):
         }
 
     # ---- optimization ---------------------------------------------------------
+    def _use_packed(self) -> bool:
+        return bool(self.config.get_path("training.packed_dispatch", False))
+
     def _place_opt_state(self, opt_state):
         """ZeRO-1 moment sharding over the dp mesh by default (reference has
-        no equivalent — its optimizer state is replicated per DDP rank)."""
+        no equivalent — its optimizer state is replicated per DDP rank).
+        packed_dispatch keeps states replicated: sharding a flat buffer would
+        put unpack slices across shard boundaries."""
         from ..parallel import shard_moments
 
+        if self._use_packed():
+            if self.config.get_path("training.optim.shard_optimizer_states", None):
+                raise ValueError(
+                    "training.optim.shard_optimizer_states (ZeRO-1) and "
+                    "training.packed_dispatch are mutually exclusive — pick one"
+                )
+            return replicate(opt_state, self.mesh)
         if self.config.get_path("training.optim.shard_optimizer_states", True):
             return shard_moments(opt_state, self.mesh)
         return replicate(opt_state, self.mesh)
@@ -434,7 +446,67 @@ class FineTuneTrainer(BaseTrainer):
             self.tx.init(jax.tree.map(np.asarray, jax.device_get(self.params)))
         )
 
+    # ---- packed dispatch ------------------------------------------------------
+    # The step boundary carries thousands of leaf buffers (params + optimizer
+    # states + frozen towers); per-dispatch bookkeeping is ~9us/buffer on the
+    # v5e tunnel. training.packed_dispatch flattens small leaves into per-dtype
+    # flat buffers that unpack INSIDE the jitted step (utils/packing.py) —
+    # self.params/opt_state/frozen then hold flat dicts between steps, and the
+    # checkpoint/validation/sampling boundaries unpack on demand.
+    def _setup_packing(self):
+        if getattr(self, "_packed", None) is not None:
+            return  # idempotent: DreamBooth re-enters make_steps
+        self._packed = self._use_packed()
+        if not self._packed:
+            return
+        from ..utils.packing import make_pack_spec, pack
+
+        thr = int(self.config.get_path(
+            "training.pack_threshold", 2 * 1024 * 1024) or 0)
+        self._pk = {
+            "param": make_pack_spec(self.params, max_leaf_bytes=thr),
+            "opt": make_pack_spec(self.opt_state, max_leaf_bytes=thr),
+            "frozen": make_pack_spec(self.frozen, max_leaf_bytes=thr),
+        }
+        self.params = jax.jit(lambda t: pack(t, self._pk["param"]))(self.params)
+        self.opt_state = jax.jit(lambda t: pack(t, self._pk["opt"]))(self.opt_state)
+        self.frozen = jax.jit(lambda t: pack(t, self._pk["frozen"]))(self.frozen)
+
+    def _unpacked(self, flat, which: str):
+        """Device tree view of a packed buffer dict (packed mode only).
+        The jitted unpacker is cached per spec — a fresh lambda per call
+        would retrace every time."""
+        from ..utils.packing import unpack
+
+        cache = self.__dict__.setdefault("_unpack_fns", {})
+        if which not in cache:
+            spec = self._pk[which]
+            cache[which] = jax.jit(lambda f: unpack(f, spec))
+        return cache[which](flat)
+
+    def _host_tree(self, obj, which: str):
+        """Host pytree of params/opt_state/frozen, packed-aware."""
+        if getattr(self, "_packed", False):
+            obj = self._unpacked(obj, which)
+        return jax.device_get(obj)
+
+    def _pack_placed(self, tree, which: str):
+        """Host tree -> replicated packed buffers (packed mode only)."""
+        from ..utils.packing import pack_host
+
+        return replicate(pack_host(tree, self._pk[which]), self.mesh)
+
     def make_steps(self):
+        self._setup_packing()
+        if self._packed:
+            from .steps import make_packed_finetune_step
+
+            self.step_fn = make_packed_finetune_step(
+                self.student, self.teacher, self.vae, self.sched, self.loss_cfg,
+                self.tx, self._pk["param"], self._pk["opt"], self._pk["frozen"],
+                grad_accum=self.grad_accum,
+            )
+            return
         self.step_fn = make_finetune_step(
             self.student, self.teacher, self.vae, self.sched, self.loss_cfg, self.tx,
             grad_accum=self.grad_accum,
@@ -483,13 +555,17 @@ class FineTuneTrainer(BaseTrainer):
         max_batches = int(
             self.config.get_path("training.max_validation_batches", 0) or 8
         )
+        params, frozen = self.params, self.frozen
+        if getattr(self, "_packed", False):
+            params = self._unpacked(params, "param")
+            frozen = self._unpacked(frozen, "frozen")
         losses = []
         for i, batch in enumerate(self.val_loader):
             if i >= max_batches:
                 break
             batch = shard_batch(batch, self.mesh)
             losses.append(float(self._eval_fn(
-                self.params, self.frozen, batch, jax.random.PRNGKey(1000 + i)
+                params, frozen, batch, jax.random.PRNGKey(1000 + i)
             )))
         if losses:
             self.tracker.log({"val_loss": float(np.mean(losses))}, step=self.global_step)
@@ -505,9 +581,9 @@ class FineTuneTrainer(BaseTrainer):
         from ..pipelines import SDPipeline
 
         pipe = SDPipeline(
-            self.student, jax.device_get(self.params), self.vae, self.vae_params,
-            self.sched, scheduler_type="ddim", text_encoder=self.text_encoder,
-            text_params=self.text_params,
+            self.student, self._host_tree(self.params, "param"), self.vae,
+            self.vae_params, self.sched, scheduler_type="ddim",
+            text_encoder=self.text_encoder, text_params=self.text_params,
         )
         try:
             from transformers import CLIPTokenizer
@@ -547,8 +623,8 @@ class FineTuneTrainer(BaseTrainer):
     # ---- checkpointing ----------------------------------------------------------
     def save_checkpoint(self):
         tree = {
-            "params": jax.device_get(self.params),
-            "opt_state": jax.device_get(self.opt_state),
+            "params": self._host_tree(self.params, "param"),
+            "opt_state": self._host_tree(self.opt_state, "opt"),
             "step": self.global_step,
         }
         self.ckpt.save(
@@ -566,13 +642,17 @@ class FineTuneTrainer(BaseTrainer):
         if step is None:
             return
         tree = {
-            "params": jax.device_get(self.params),
-            "opt_state": jax.device_get(self.opt_state),
+            "params": self._host_tree(self.params, "param"),
+            "opt_state": self._host_tree(self.opt_state, "opt"),
             "step": 0,
         }
         restored = self.ckpt.restore(step, tree)
-        self.params = replicate(restored["params"], self.mesh)
-        self.opt_state = self._place_opt_state(restored["opt_state"])
+        if getattr(self, "_packed", False):
+            self.params = self._pack_placed(restored["params"], "param")
+            self.opt_state = self._pack_placed(restored["opt_state"], "opt")
+        else:
+            self.params = replicate(restored["params"], self.mesh)
+            self.opt_state = self._place_opt_state(restored["opt_state"])
         self.global_step = int(restored["step"])
         logger.info("resumed from checkpoint-%d", step)
 

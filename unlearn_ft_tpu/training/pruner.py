@@ -145,17 +145,47 @@ class PruningTrainer(FineTuneTrainer):
         )
 
     def make_steps(self):
+        # packed dispatch: only the frozen towers are worth packing here —
+        # the trainable hypernet/quantizer trees are a few dozen leaves, the
+        # frozen gated U-Net ~900 (see steps.make_pruner_step frozen_spec)
+        self._frozen_spec = None
+        self._frozen_packed = self.frozen
+        if self.config.get_path("training.packed_dispatch", False):
+            from ..utils.packing import make_pack_spec, pack
+
+            thr = int(self.config.get_path(
+                "training.pack_threshold", 2 * 1024 * 1024) or 0)
+            self._frozen_spec = make_pack_spec(self.frozen, max_leaf_bytes=thr)
+            spec = self._frozen_spec
+            self._frozen_packed = jax.jit(lambda t: pack(t, spec))(self.frozen)
+            # don't hold a second full copy of the frozen towers in HBM —
+            # validation unpacks transiently via _frozen_tree()
+            self.frozen = None
         self.step_fn = make_pruner_step(
             self.unet, self.hypernet, self.qcfg, self.vae, self.layout, self.full_spec,
             self.sched, self.loss_cfg, self.tx,
             seq_kv=int(self.config.get_path("data.synthetic_seq_len", 77)),
             pretrain=bool(self.config.get_path("training.hypernet_pretraining", False)),
             grad_accum=self.grad_accum,
+            frozen_spec=self._frozen_spec,
         )
+
+    def _frozen_tree(self):
+        """Device tree view of the frozen towers (packed-aware, transient).
+        SDXL/Flux subclasses keep their own make_steps (tree frozen) — fall
+        back to self.frozen there."""
+        if getattr(self, "_frozen_spec", None) is None:
+            return getattr(self, "_frozen_packed", None) or self.frozen
+        from ..utils.packing import unpack
+
+        spec = self._frozen_spec
+        if not hasattr(self, "_frozen_unpack_fn"):
+            self._frozen_unpack_fn = jax.jit(lambda f: unpack(f, spec))
+        return self._frozen_unpack_fn(self._frozen_packed)
 
     def run_step(self, batch, rng) -> Dict:
         self.trainable, self.opt_state, self.qstate, metrics = self.step_fn(
-            self.trainable, self.opt_state, self.qstate, self.frozen, batch, rng
+            self.trainable, self.opt_state, self.qstate, self._frozen_packed, batch, rng
         )
         return {
             k: v for k, v in metrics.items()
@@ -249,7 +279,7 @@ class PruningTrainer(FineTuneTrainer):
         if pipe is None:
             return None
         # refresh the pieces that train
-        pipe.unet_params = self.frozen["unet"]
+        pipe.unet_params = self._frozen_tree()["unet"]
         trainable = self.trainable
         pipe.hypernet_params = trainable["hypernet"]
         pipe.qparams = trainable["quantizer"]

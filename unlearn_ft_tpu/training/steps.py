@@ -317,6 +317,43 @@ def make_upper_step(
 
 
 # ---------------------------------------------------------------------------
+# Packed-dispatch variants: the step boundary carries thousands of leaf
+# buffers (~700 student params + ~900 optimizer states + ~900 frozen tower
+# leaves) and the runtime pays ~9us of per-buffer bookkeeping per dispatch —
+# a measured ~76ms/step host gap on the v5e tunnel at batch 8 x accum 2.
+# These wrap the SAME cores over a handful of flat per-dtype buffers
+# (utils/packing.py); numerics are identical (tests/test_packing.py).
+# ---------------------------------------------------------------------------
+
+def make_packed_finetune_step(
+    student, teacher, vae, sched, loss_cfg, tx,
+    param_spec, opt_spec, frozen_spec, grad_accum: int = 1,
+):
+    """Packed make_finetune_step: step(flat_params, flat_opt, flat_frozen,
+    batch, rng) -> (flat_params, flat_opt, metrics). Build the specs with
+    utils.packing.make_pack_spec on the host trees."""
+    from ..utils.packing import make_packed_step
+
+    return make_packed_step(
+        _finetune_core(student, teacher, vae, sched, loss_cfg, tx, grad_accum),
+        param_spec, opt_spec, frozen_spec,
+    )
+
+
+def make_packed_upper_step(
+    student, teacher, vae, sched, loss_cfg, upper_tx,
+    param_spec, opt_spec, frozen_spec, grad_accum: int = 1,
+):
+    """Packed make_upper_step (same flat-buffer boundary)."""
+    from ..utils.packing import make_packed_step
+
+    return make_packed_step(
+        _upper_core(student, teacher, vae, sched, loss_cfg, upper_tx, grad_accum),
+        param_spec, opt_spec, frozen_spec,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Fused bilevel cadence: the reference interleaves one ESD upper step after
 # every upper_step_freq lower steps on the host (trainer.py:2793-2816). Here
 # the WHOLE cadence is one XLA program — lax.scan over the lower steps, then
@@ -377,7 +414,7 @@ def make_bilevel_cadence_step(
 # loss = mse(instance) + prior_loss_weight * mse(prior).
 # ---------------------------------------------------------------------------
 
-def make_dreambooth_upper_step(
+def _dreambooth_core(
     student,
     vae,
     sched: DiffusionSchedule,
@@ -417,7 +454,6 @@ def make_dreambooth_upper_step(
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         return loss, grads, metrics
 
-    @partial(jax.jit, donate_argnums=(0, 1))
     def step(params, upper_opt_state, frozen, batch, rng):
         if grad_accum > 1:
             loss, grads, metrics = _accumulated_grads(
@@ -431,6 +467,27 @@ def make_dreambooth_upper_step(
         return new_params, new_opt_state, metrics
 
     return step
+
+
+def make_dreambooth_upper_step(*args, **kwargs):
+    return partial(jax.jit, donate_argnums=(0, 1))(_dreambooth_core(*args, **kwargs))
+
+
+def make_packed_dreambooth_upper_step(
+    student, vae, sched, loss_cfg, upper_tx,
+    param_spec, opt_spec, frozen_spec,
+    prior_loss_weight: float = 1.0,
+    with_prior_preservation: bool = True,
+    grad_accum: int = 1,
+):
+    """Packed-boundary DreamBooth upper step (see make_packed_finetune_step)."""
+    from ..utils.packing import make_packed_step
+
+    return make_packed_step(
+        _dreambooth_core(student, vae, sched, loss_cfg, upper_tx,
+                         prior_loss_weight, with_prior_preservation, grad_accum),
+        param_spec, opt_spec, frozen_spec,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -598,13 +655,19 @@ def make_pruner_step(
     seq_kv: int = 77,
     pretrain: bool = False,
     grad_accum: int = 1,
+    frozen_spec=None,
 ):
     """Trainable = {'hypernet':…, 'quantizer':…}; U-Net frozen (gates only).
     The contrastive similarity, Sinkhorn sums and resource stats are global
     reductions over the sharded batch — DDP all_gathers fall out of jit.
 
     With grad_accum > 1 the contrastive/Sinkhorn batch is the microbatch, as
-    in the reference's accumulate context (per-microbatch forward)."""
+    in the reference's accumulate context (per-microbatch forward).
+
+    ``frozen_spec`` (a utils.packing.PackSpec) makes the step accept the
+    frozen {'unet':…,'vae':…} towers as packed flat buffers — the trainable
+    trees are tiny, but the frozen gated U-Net is ~900 leaf buffers of
+    per-dispatch bookkeeping (see make_packed_finetune_step)."""
     macs_table = macs_lib.unet_macs(spec, seq_kv)
 
     def make_grad_fn(training):
@@ -685,6 +748,10 @@ def make_pruner_step(
 
     @partial(jax.jit, donate_argnums=(0, 1), static_argnames=("training",))
     def step(trainable, opt_state, quant_state, frozen, batch, rng, training=True):
+        if frozen_spec is not None:
+            from ..utils.packing import unpack
+
+            frozen = unpack(frozen, frozen_spec)
         grad_fn = make_grad_fn(training)
         if grad_accum > 1:
             loss, grads, metrics, new_qstate = _accumulated_pruner_grads(
