@@ -116,8 +116,30 @@ def build(args):
     # 5e-6, configs/baselines/sd-2-1_coco_aptp_both_512_bilevel.yaml)
     upper_tx = make_optimizer(5e-6, mu_dtype=mu_dtype, nu_dtype=nu_dtype)
     packed_specs = None
-    use_packed = getattr(args, "packed", False) and not getattr(args, "fused_cadence", False)
-    if use_packed:
+    fused = getattr(args, "fused_cadence", False)
+    use_packed = getattr(args, "packed", False) and not fused
+    use_packed_frozen = (getattr(args, "packed_frozen", False) and not fused
+                         and not use_packed)
+    if use_packed_frozen:
+        # frozen-only packing: the teacher/VAE trees are read-only — no
+        # repack write-back, only their ~900 buffers of dispatch bookkeeping
+        # go away; the donated param/opt boundary stays per-leaf
+        from unlearn_ft_tpu.utils.packing import make_pack_spec
+
+        frozen_dt = jnp.float32 if args.smoke else jnp.bfloat16
+        sds = lambda tree, dt: jax.tree.map(  # noqa: E731
+            lambda x: jax.ShapeDtypeStruct(x.shape, dt), tree)
+        thr = int(getattr(args, "pack_threshold", 2 * 1024 * 1024))
+        frozen_spec = make_pack_spec({
+            "teacher": sds(teacher_params, frozen_dt),
+            "vae": sds(vae_params, frozen_dt),
+        }, max_leaf_bytes=thr)
+        packed_specs = {"frozen": frozen_spec}
+        step = make_finetune_step(student_mod, teacher_mod, vae, sched, loss_cfg,
+                                  tx, grad_accum=ga, frozen_spec=frozen_spec)
+        upper_step = make_upper_step(student_mod, teacher_mod, vae, sched, loss_cfg,
+                                     upper_tx, grad_accum=ga, frozen_spec=frozen_spec)
+    elif use_packed:
         # flat-buffer step boundary: ~2500 arg leaves -> a handful of buffers
         # (measured ~9us/buffer dispatch bookkeeping through the v5e tunnel;
         # see utils/packing.py)
@@ -255,7 +277,7 @@ def run(args):
         try:
             # student params live on host between batch sizes (the step
             # donates them; an extra device-resident master copy OOMs)
-            if packed_specs is not None:
+            if packed_specs is not None and "param" in packed_specs:
                 pspec = packed_specs["param"]
                 params = jax.device_put(pack_host(student_params, pspec))
                 opt_state = jax.jit(
@@ -710,6 +732,13 @@ def main():
                         "than the dispatch they save at this model size, so "
                         "the default is OFF (it wins only for step programs "
                         "that are dispatch-bound, e.g. much smaller models).")
+    p.add_argument("--packed-frozen", action=argparse.BooleanOptionalAction,
+                   default=False,
+                   help="pack ONLY the frozen teacher/VAE trees (~900 of the "
+                        "~2500 step-boundary buffers): read-only, so no "
+                        "repack write-back and the donated param/opt "
+                        "boundary stays per-leaf — the cheap subset of "
+                        "--packed")
     p.add_argument("--pack-threshold", type=int, default=2 * 1024 * 1024,
                    help="only pack leaves up to this many bytes (larger ones "
                         "pass through as individual buffers); bounds the "

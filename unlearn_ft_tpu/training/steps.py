@@ -207,6 +207,24 @@ def _finetune_core(
     return step
 
 
+def _with_packed_frozen(core, frozen_spec):
+    """Wrap a ``step(params, opt_state, frozen, batch, rng)`` core so it
+    accepts the frozen towers as packed flat buffers (utils/packing.py),
+    unpacked at program entry. Unlike full packed dispatch
+    (make_packed_step), the trainable param/opt trees keep their donated
+    per-leaf boundary — the frozen trees are read-only, so there is no
+    repack write-back, and this only removes their ~900 buffers of
+    per-dispatch bookkeeping."""
+    if frozen_spec is None:
+        return core
+    from ..utils.packing import unpack
+
+    def step(params, opt_state, flat_frozen, batch, rng):
+        return core(params, opt_state, unpack(flat_frozen, frozen_spec), batch, rng)
+
+    return step
+
+
 def make_finetune_step(
     student,
     teacher,
@@ -215,12 +233,16 @@ def make_finetune_step(
     loss_cfg: LossConfig,
     tx: optax.GradientTransformation,
     grad_accum: int = 1,
+    frozen_spec=None,
 ):
     """Returns step(params, opt_state, frozen, batch, rng) -> (params,
-    opt_state, metrics). ``frozen`` = {'teacher':…, 'vae':…} param trees."""
-    return partial(jax.jit, donate_argnums=(0, 1))(
-        _finetune_core(student, teacher, vae, sched, loss_cfg, tx, grad_accum)
-    )
+    opt_state, metrics). ``frozen`` = {'teacher':…, 'vae':…} param trees,
+    or packed flat buffers when ``frozen_spec`` is given (see
+    _with_packed_frozen)."""
+    return partial(jax.jit, donate_argnums=(0, 1))(_with_packed_frozen(
+        _finetune_core(student, teacher, vae, sched, loss_cfg, tx, grad_accum),
+        frozen_spec,
+    ))
 
 
 # ---------------------------------------------------------------------------
@@ -310,10 +332,12 @@ def make_upper_step(
     loss_cfg: LossConfig,
     upper_tx: optax.GradientTransformation,
     grad_accum: int = 1,
+    frozen_spec=None,
 ):
-    return partial(jax.jit, donate_argnums=(0, 1))(
-        _upper_core(student, teacher, vae, sched, loss_cfg, upper_tx, grad_accum)
-    )
+    return partial(jax.jit, donate_argnums=(0, 1))(_with_packed_frozen(
+        _upper_core(student, teacher, vae, sched, loss_cfg, upper_tx, grad_accum),
+        frozen_spec,
+    ))
 
 
 # ---------------------------------------------------------------------------
