@@ -1,6 +1,7 @@
 """Low-memory AdamW (bf16 moments + stochastic rounding) — the HBM knob
 that fits the bilevel mix's two optimizer states on a 16GB v5e chip."""
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 import optax
@@ -113,3 +114,48 @@ def test_sr_state_checkpoint_roundtrip(tmp_path):
     for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored["opt_state"])):
         assert np.asarray(a).dtype == np.asarray(b).dtype
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_async_checkpoint_save_matches_sync(tmp_path):
+    """async_save=True (training.async_checkpointing): the write/rotate half
+    runs on a background thread; contents must equal the sync path, saves
+    stay ordered, rotation still applies, wait() surfaces write errors."""
+    from unlearn_ft_tpu.training.checkpoint import CheckpointManager
+
+    tree = {"w": np.arange(12, dtype=np.float32).reshape(3, 4), "step": 3}
+    sync_mgr = CheckpointManager(str(tmp_path / "sync"))
+    sync_mgr.save(3, tree, arch_vector=np.ones(4))
+    amgr = CheckpointManager(str(tmp_path / "async"), total_limit=2,
+                             async_save=True)
+    for s in (1, 2):
+        amgr.save(s, {"w": np.zeros((3, 4), np.float32), "step": s})
+    amgr.save(3, tree, arch_vector=np.ones(4))
+    amgr.wait()
+    assert amgr.all_steps() == [2, 3]  # rotation ran on the writer thread
+    template = {"w": np.zeros((3, 4), np.float32), "step": 0}
+    a = amgr.restore(3, template)
+    b = sync_mgr.restore(3, template)
+    np.testing.assert_array_equal(a["w"], b["w"])
+    assert int(a["step"]) == int(b["step"]) == 3
+    np.testing.assert_array_equal(amgr.load_arch_vector(3),
+                                  sync_mgr.load_arch_vector(3))
+    # latest_step joins the in-flight write before scanning
+    amgr.save(4, tree)
+    assert amgr.latest_step() == 4
+
+    # a failing write surfaces on the next wait(), not silently
+    import orbax.checkpoint as ocp
+
+    class Boom:
+        def save(self, *a, **k):
+            raise RuntimeError("disk full")
+
+        def wait_until_finished(self):
+            pass
+
+    amgr.wait()
+    amgr._ckptr = Boom()
+    amgr.save(5, tree)
+    with pytest.raises(RuntimeError, match="disk full"):
+        amgr.wait()
+    del ocp

@@ -465,3 +465,28 @@ def test_pruning_trainer_packed_dispatch_matches_tree():
     for a, b in zip(rows["tree"], rows["packed"]):
         np.testing.assert_allclose(a["loss"], b["loss"], rtol=1e-6)
         np.testing.assert_allclose(a["resource_ratio"], b["resource_ratio"], rtol=1e-6)
+
+
+def test_async_checkpointing_config_wiring():
+    """training.async_checkpointing reaches the CheckpointManager, and a
+    trained run's final checkpoint is complete after train() returns (the
+    loop joins the writer thread before finishing)."""
+    import jax
+
+    from unlearn_ft_tpu.training.finetune import FineTuneTrainer
+
+    with tempfile.TemporaryDirectory() as tmp:
+        cfg = _config(tmp)
+        cfg.training.max_train_steps = 2
+        cfg.training.checkpoint_steps = 1
+        cfg.merge({"training": {"async_checkpointing": True}})
+        t = FineTuneTrainer(cfg)
+        assert t.ckpt.async_save
+        t.train()
+        assert t.ckpt.latest_step() == 2
+        restored = t.ckpt.restore(2, {
+            "params": jax.device_get(t.params),
+            "opt_state": jax.device_get(t.opt_state),
+            "step": 0,
+        })
+        assert int(restored["step"]) == 2

@@ -15,6 +15,7 @@ import json
 import os
 import re
 import shutil
+import threading
 from typing import Any, Dict, Optional
 
 import jax
@@ -25,11 +26,32 @@ _CKPT_RE = re.compile(r"^checkpoint-(\d+)$")
 
 
 class CheckpointManager:
-    def __init__(self, directory: str, total_limit: Optional[int] = None):
+    """``async_save=True`` moves the serialize/write/rotate half of ``save``
+    onto a background thread so the train loop only pays the (unavoidable —
+    the steps donate their buffers) device->host fetch; the reference's
+    accelerate save hooks are fully blocking. Saves stay ordered (one writer
+    thread); ``wait()`` joins the pending write and re-raises its error, and
+    is called automatically before the next save/restore and must be called
+    once after the loop (trainers do, via ``tracker.finish`` time)."""
+
+    def __init__(self, directory: str, total_limit: Optional[int] = None,
+                 async_save: bool = False):
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)
         self.total_limit = total_limit
+        self.async_save = bool(async_save)
         self._ckptr = ocp.StandardCheckpointer()
+        self._pending: Optional[threading.Thread] = None
+        self._pending_err: Optional[BaseException] = None
+
+    def wait(self):
+        """Join the in-flight async save, if any; re-raise its failure."""
+        t, self._pending = self._pending, None
+        if t is not None:
+            t.join()
+        err, self._pending_err = self._pending_err, None
+        if err is not None:
+            raise err
 
     # ---- discovery --------------------------------------------------------
     def all_steps(self):
@@ -41,6 +63,9 @@ class CheckpointManager:
         return sorted(steps)
 
     def latest_step(self) -> Optional[int]:
+        # join any in-flight async write so discovery sees it (all_steps
+        # itself must NOT wait — _rotate calls it from the writer thread)
+        self.wait()
         steps = self.all_steps()
         return steps[-1] if steps else None
 
@@ -56,20 +81,39 @@ class CheckpointManager:
         spec_json: Optional[str] = None,
         extra_files: Optional[Dict[str, bytes]] = None,
     ):
-        path = self.path(step)
-        self._ckptr.save(os.path.join(path, "state"), tree, force=True)
-        self._ckptr.wait_until_finished()
-        if arch_vector is not None:
-            np.save(os.path.join(path, "arch_vector.npy"), np.asarray(arch_vector))
-        if spec_json is not None:
-            with open(os.path.join(path, "unet_spec.json"), "w") as f:
-                f.write(spec_json)
-        for name, data in (extra_files or {}).items():
-            with open(os.path.join(path, name), "wb") as f:
-                f.write(data)
-        self._rotate()
+        self.wait()  # serialize saves; surface the previous write's failure
+        # snapshot to host numpy NOW — the caller's device buffers are
+        # donated to the next step, and async writing must not race them
+        tree = jax.tree.map(np.asarray, jax.device_get(tree))
+
+        def _write():
+            path = self.path(step)
+            self._ckptr.save(os.path.join(path, "state"), tree, force=True)
+            self._ckptr.wait_until_finished()
+            if arch_vector is not None:
+                np.save(os.path.join(path, "arch_vector.npy"), np.asarray(arch_vector))
+            if spec_json is not None:
+                with open(os.path.join(path, "unet_spec.json"), "w") as f:
+                    f.write(spec_json)
+            for name, data in (extra_files or {}).items():
+                with open(os.path.join(path, name), "wb") as f:
+                    f.write(data)
+            self._rotate()
+
+        if not self.async_save:
+            return _write()
+
+        def _guarded():
+            try:
+                _write()
+            except BaseException as e:  # re-raised from wait()
+                self._pending_err = e
+
+        self._pending = threading.Thread(target=_guarded, name=f"ckpt-save-{step}")
+        self._pending.start()
 
     def restore(self, step: int, template: Dict[str, Any]) -> Dict[str, Any]:
+        self.wait()
         template = jax.tree.map(np.asarray, template)
         return self._ckptr.restore(os.path.join(self.path(step), "state"), template)
 

@@ -107,6 +107,10 @@ class BaseTrainer:
         self.ckpt = CheckpointManager(
             self.logging_dir,
             config.get_path("training.logging.checkpoints_total_limit"),
+            # overlap the orbax write/rotate with training (the device->host
+            # fetch still blocks — the steps donate their buffers); the loop
+            # joins the last write before finishing
+            async_save=bool(config.get_path("training.async_checkpointing", False)),
         )
 
         pm = config.model.prediction_model
@@ -361,6 +365,7 @@ class BaseTrainer:
             if ckpt_steps and self.global_step % ckpt_steps == 0:
                 self.save_checkpoint()
         self.save_checkpoint()
+        self.ckpt.wait()  # join + surface any async write failure
         self.tracker.finish()
 
     def validate(self):
