@@ -66,25 +66,84 @@ def image_transform(
             tls.rng = r
         return r
 
+    def _geometry(w, h):
+        """(resize dims, crop offsets, flip) for a source of size (w, h) —
+        shared by the PIL and native paths so both sample the rng the same
+        way."""
+        scale = resolution / min(w, h)
+        rw, rh = round(w * scale), round(h * scale)
+        if center_crop:
+            left, top = (rw - resolution) // 2, (rh - resolution) // 2
+        else:
+            r = _rng()
+            left = int(r.integers(0, rw - resolution + 1))
+            top = int(r.integers(0, rh - resolution + 1))
+        flip = bool(random_flip and _rng().random() < 0.5)
+        return rw, rh, left, top, flip
+
     def transform(img):
         from PIL import Image
 
         w, h = img.size
-        scale = resolution / min(w, h)
-        img = img.resize((round(w * scale), round(h * scale)), Image.BILINEAR)
-        w, h = img.size
-        if center_crop:
-            left, top = (w - resolution) // 2, (h - resolution) // 2
-        else:
-            r = _rng()
-            left = r.integers(0, w - resolution + 1)
-            top = r.integers(0, h - resolution + 1)
+        rw, rh, left, top, flip = _geometry(w, h)
+        img = img.resize((rw, rh), Image.BILINEAR)
         img = img.crop((left, top, left + resolution, top + resolution))
         arr = np.asarray(img.convert("RGB"), dtype=np.float32) / 127.5 - 1.0
-        if random_flip and _rng().random() < 0.5:
+        if flip:
             arr = arr[:, ::-1]
         return arr
 
+    def from_path(path):
+        """Fused native decode->resize->crop->flip (native/image_ops.cpp)
+        when the file is a libjpeg-decodable JPEG; PIL otherwise. Numerics
+        match PIL within its fixed-point rounding (±1 uint8 level,
+        tests/test_native_image_ops.py)."""
+        from ..native import load_image_ops
+
+        ops = load_image_ops()
+        if ops is not None:
+            try:
+                with open(path, "rb") as f:
+                    data = f.read()
+                w, h = ops.probe_jpeg(data)
+                rw, rh, left, top, flip = _geometry(w, h)
+                arr = ops.decode_resize_crop(data, rw, rh, resolution, left, top, flip)
+                return arr.astype(np.float32) / 127.5 - 1.0
+            except (ValueError, OSError):
+                pass  # non-JPEG / CMYK / truncated -> PIL
+        from PIL import Image
+
+        return transform(Image.open(path))
+
+    def from_paths(paths, num_threads: int = 8):
+        """Batch of from_path with the decode thread pool (GIL released in
+        the extension). Items the native path can't take fall back to PIL."""
+        from ..native import load_image_ops
+
+        ops = load_image_ops()
+        if ops is None:
+            return [from_path(p) for p in paths]
+        jobs, idx, out = [], [], [None] * len(paths)
+        for i, p in enumerate(paths):
+            try:
+                with open(p, "rb") as f:
+                    data = f.read()
+                w, h = ops.probe_jpeg(data)
+            except (ValueError, OSError):
+                out[i] = from_path(p)
+                continue
+            rw, rh, left, top, flip = _geometry(w, h)
+            jobs.append((data, rw, rh, left, top, flip))
+            idx.append(i)
+        if jobs:
+            batch = ops.batch_decode_resize_crop(jobs, resolution, int(num_threads))
+            batch = batch.astype(np.float32) / 127.5 - 1.0
+            for k, i in enumerate(idx):
+                out[i] = batch[k]
+        return out
+
+    transform.from_path = from_path
+    transform.from_paths = from_paths
     return transform
 
 
@@ -101,9 +160,13 @@ class LazyImages:
         return len(self.records)
 
     def __getitem__(self, i):
+        path = self.records[i].image
+        from_path = getattr(self.transform, "from_path", None)
+        if from_path is not None:
+            return from_path(path)
         from PIL import Image
 
-        return self.transform(Image.open(self.records[i].image))
+        return self.transform(Image.open(path))
 
 
 def _stream_to_memmap(path: str, n: int, chunks) -> np.ndarray:

@@ -325,8 +325,6 @@ class FineTuneTrainer(BaseTrainer):
             moments = self._precompute_latent_moments(ds, resolution)
 
         def collate(indices):
-            from PIL import Image
-
             pe = [embeds["prompt_embeds"][i] for i in indices]
             ee = [embeds["empty_prompt_embeds"] for _ in indices]
             batch = {
@@ -342,8 +340,10 @@ class FineTuneTrainer(BaseTrainer):
                     [moments[i] for i in indices]
                 ).astype(np.float32)
             else:
+                # native fused decode->resize->crop when available (thread
+                # pool inside the extension, GIL released); PIL fallback
                 batch["pixel_values"] = np.stack(
-                    [transform(Image.open(ds.records[i].image)) for i in indices]
+                    transform.from_paths([ds.records[i].image for i in indices])
                 )
             return batch
 
