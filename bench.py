@@ -450,6 +450,7 @@ def run_prune(args):
     from unlearn_ft_tpu.training.steps import LossConfig, make_pruner_step
     from unlearn_ft_tpu.utils import macs as macs_lib
 
+    sdxl = getattr(args, "model", "sd") == "sdxl"
     dtype = jnp.float32 if args.smoke else jnp.bfloat16
     if args.smoke:
         from unlearn_ft_tpu.models import UNetConfig
@@ -460,9 +461,23 @@ def run_prune(args):
             ff_gate_width=4, upcast_attention=False,
             down_block_types=("CrossAttnDownBlock2DHalfGated", "DownBlock2DHalfGated"),
             up_block_types=("UpBlock2DHalfGated", "CrossAttnUpBlock2DHalfGated"),
+            **({"addition_embed_type": "text_time",
+                "projection_class_embeddings_input_dim": 32 + 6 * 8,
+                "addition_time_embed_dim": 8} if sdxl else {}),
         )
         vae_cfg = VAEConfig(block_out_channels=(8, 16), layers_per_block=1, norm_num_groups=4)
         resolution, seq, xdim = 16, 7, 16
+    elif sdxl:
+        import dataclasses
+
+        from unlearn_ft_tpu.models import sdxl_unet_config
+
+        # pin the spec's sample_size to the bench resolution: the analytic
+        # MACs table (and so MFU) is computed from the spec, and SDXL's
+        # native sample_size is 128 (1024px)
+        cfg = dataclasses.replace(sdxl_unet_config(), sample_size=args.resolution // 8)
+        vae_cfg = VAEConfig()
+        resolution, seq, xdim = args.resolution, 77, 2048
     else:
         cfg = sd21_unet_config()
         vae_cfg = VAEConfig()
@@ -473,11 +488,20 @@ def run_prune(args):
                             remat_policy=args.remat_policy)
     rng = np.random.default_rng(0)
     lat = resolution // 8 if not args.smoke else cfg.sample_size
+    init_added = None
+    if sdxl:
+        init_added = {
+            "text_embeds": jnp.zeros(
+                (1, cfg.projection_class_embeddings_input_dim
+                 - 6 * cfg.addition_time_embed_dim), dtype),
+            "time_ids": jnp.zeros((1, 6), dtype),
+        }
     u_shape = jax.eval_shape(
         lambda k: unet.init(
             k, jnp.zeros((1, lat, lat, cfg.in_channels), dtype),
             jnp.zeros((1,), jnp.int32),
             jnp.zeros((1, seq, xdim), dtype), layout.ones(1),
+            added_cond=init_added,
         ), jax.random.PRNGKey(0),
     )["params"]
     unet_params = jax.tree.map(
@@ -514,7 +538,7 @@ def run_prune(args):
         "vae": jax.tree.map(lambda x: x.astype(frozen_np), vae_params),
     }
     frozen_spec = None
-    if getattr(args, "packed", False):
+    if getattr(args, "packed", False) and not sdxl:
         # the trainable hypernet/quantizer trees are tiny; the frozen gated
         # U-Net is the ~900-buffer dispatch cost (utils/packing.py)
         from unlearn_ft_tpu.utils.packing import make_pack_spec, pack_host
@@ -524,10 +548,18 @@ def run_prune(args):
         frozen = jax.device_put(pack_host(frozen_host, frozen_spec))
     else:
         frozen = jax.device_put(frozen_host)
-    step = make_pruner_step(
-        unet, hypernet, qcfg, vae, layout, spec, sched, LossConfig(), tx, seq_kv=seq,
-        frozen_spec=frozen_spec,
-    )
+    if sdxl:
+        from unlearn_ft_tpu.training.sdxl_pruner import make_sdxl_pruner_step
+
+        step = make_sdxl_pruner_step(
+            unet, hypernet, qcfg, vae, layout, spec, sched, LossConfig(), tx,
+            seq_kv=seq,
+        )
+    else:
+        step = make_pruner_step(
+            unet, hypernet, qcfg, vae, layout, spec, sched, LossConfig(), tx,
+            seq_kv=seq, frozen_spec=frozen_spec,
+        )
     # teacher fwd + gated fwd + input-only backward (~1x fwd: frozen weights
     # contribute no dW matmuls) -> ~3 full-U-Net forwards of model FLOPs
     flops_per_sample = None if args.smoke else 2.0 * 3.0 * table["total"]
@@ -536,6 +568,9 @@ def run_prune(args):
         batch_sizes = [args.batch_size]
     elif args.smoke:
         batch_sizes = [2]
+    elif sdxl:
+        # frozen SDXL U-Net is ~5.1GB bf16 on the 16GB chip
+        batch_sizes = [8, 4, 2]
     else:
         batch_sizes = [8, 4]
     for bs in batch_sizes:
@@ -550,6 +585,14 @@ def run_prune(args):
                 "prompt_embeds": jnp.asarray(rng.standard_normal((bs, seq, xdim)), jnp.float32),
                 "mpnet_embeddings": jnp.asarray(rng.standard_normal((bs, 768)), jnp.float32),
             }
+            if sdxl:
+                pooled_dim = (cfg.projection_class_embeddings_input_dim
+                              - 6 * cfg.addition_time_embed_dim)
+                batch["text_embeds"] = jnp.asarray(
+                    rng.standard_normal((bs, pooled_dim)), jnp.float32)
+                batch["time_ids"] = jnp.tile(jnp.asarray(
+                    [resolution, resolution, 0, 0, resolution, resolution],
+                    jnp.float32)[None], (bs, 1))
             print(f"# compiling pruner step at batch {bs}...", file=sys.stderr, flush=True)
             tw = time.perf_counter()
             trainable, opt_state, qs, m = step(
@@ -739,6 +782,10 @@ def main():
                         "repack write-back and the donated param/opt "
                         "boundary stays per-leaf — the cheap subset of "
                         "--packed")
+    p.add_argument("--model", choices=["sd", "sdxl"], default="sd",
+                   help="--prune only: which pruning trainer's step to bench "
+                        "(sdxl = dual-tower 2048-d context + text_time "
+                        "added_cond over the 2.6B-param gated SDXL U-Net)")
     p.add_argument("--pack-threshold", type=int, default=2 * 1024 * 1024,
                    help="only pack leaves up to this many bytes (larger ones "
                         "pass through as individual buffers); bounds the "
@@ -768,8 +815,9 @@ def main():
 
     if args.prune:
         value, mfu = run_prune(args)
+        prefix = "sdxl_" if args.model == "sdxl" else ""
         out = {
-            "metric": "prune_train_samples_per_sec_per_chip",
+            "metric": f"{prefix}prune_train_samples_per_sec_per_chip",
             "value": round(float(value), 4),
             "unit": "samples/sec/chip",
             # same estimated torch-DDP A100 denominator as the bilevel metric:

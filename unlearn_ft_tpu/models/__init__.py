@@ -8,5 +8,6 @@ from .unet_spec import (  # noqa: F401
     gate_layout_for_config,
     materialize_pruned,
     sd21_unet_config,
+    sdxl_unet_config,
 )
 from .unet import UNet2DConditionModel  # noqa: F401
