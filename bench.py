@@ -628,6 +628,167 @@ def run_prune(args):
     return best, mfu
 
 
+def run_prune_flux(args):
+    """Flux pruning-stage throughput: one hypernet+quantizer step over the
+    frozen gated Flux MMDiT (reference FluxPruner.step, trainer.py:1742-1940)
+    — flow-match loss + contrastive + Sinkhorn + resource, AdamW on the
+    ~4M trainable hypernet/quantizer params.
+
+    Full Flux-dev is ~11.8B params — frozen bf16 alone (~24GB) exceeds one
+    16GB v5e chip, so the default bench runs a depth-scaled config (same
+    3072-wide blocks, 7 joint + 14 single = ~4.3B params) whose per-block
+    compute is identical; MFU is the transferable number. `--flux-layers` /
+    `--flux-single-layers` override (full scale needs a ZeRO/mesh run, which
+    `__graft_entry__.dryrun_multichip` compiles).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from unlearn_ft_tpu.models.flux import (
+        FluxConfig, GatedFluxTransformer2DModel, flux_gate_layout, make_image_ids,
+    )
+    from unlearn_ft_tpu.models.hypernet import HyperStructure
+    from unlearn_ft_tpu.models.quantizer import QuantizerConfig
+    from unlearn_ft_tpu.schedulers import FlowMatchSchedule
+    from unlearn_ft_tpu.training.optim import make_optimizer
+    from unlearn_ft_tpu.training.steps import LossConfig, make_flux_pruner_step
+    from unlearn_ft_tpu.utils import flux_macs as fm
+
+    dtype = jnp.float32 if args.smoke else jnp.bfloat16
+    if args.smoke:
+        cfg = FluxConfig(in_channels=8, num_layers=2, num_single_layers=2,
+                         attention_head_dim=8, num_attention_heads=2,
+                         joint_attention_dim=16, pooled_projection_dim=16,
+                         axes_dims_rope=(2, 2, 4), ff_gate_width=2)
+        l_img, l_txt = 16, 4
+    else:
+        cfg = FluxConfig(num_layers=args.flux_layers,
+                         num_single_layers=args.flux_single_layers)
+        # 512px -> 64x64 latent -> 2x2-packed 32x32 = 1024 image tokens;
+        # T5 text tokens at the reference Flux cap (max_sequence_length 512)
+        side = args.resolution // 16
+        l_img, l_txt = side * side, 512
+    layout = flux_gate_layout(cfg)
+    flux = GatedFluxTransformer2DModel(cfg, dtype=dtype, remat=args.remat,
+                                       remat_policy=args.remat_policy)
+
+    rng = np.random.default_rng(0)
+    # make_image_ids takes the pre-packing latent side: side//2 ** 2 tokens
+    side = int(2 * np.sqrt(l_img))
+    f_shape = jax.eval_shape(
+        lambda k: flux.init(
+            k, jnp.zeros((1, l_img, cfg.in_channels), dtype),
+            jnp.zeros((1, l_txt, cfg.joint_attention_dim), dtype),
+            jnp.zeros((1, cfg.pooled_projection_dim), dtype),
+            jnp.zeros((1,), dtype), jnp.asarray(make_image_ids(side, side, 1)),
+            jnp.zeros((1, l_txt, 3)), None, layout.ones(1),
+        ), jax.random.PRNGKey(0),
+    )["params"]
+    # pooled fill: per-leaf float64 standard_normal for 4.3B params costs
+    # ~10+ min host-side; throughput is weight-independent, so tile a 1M
+    # random pool instead (realistic magnitudes, no denormal/NaN slowdowns)
+    pool = (rng.standard_normal(1 << 20) * 0.02).astype(np.float32)
+
+    def fill(s):
+        n = int(np.prod(s.shape))
+        reps = -(-n // pool.size)
+        return np.tile(pool, reps)[:n].reshape(s.shape)
+
+    flux_params = jax.tree.map(fill, f_shape)
+    n_p = sum(np.asarray(x).size for x in jax.tree.leaves(flux_params))
+    print(f"# gated flux: {n_p/1e9:.2f}B params "
+          f"({cfg.num_layers} joint + {cfg.num_single_layers} single)",
+          file=sys.stderr)
+
+    hypernet = HyperStructure(layout, input_dim=768)
+    hparams = hypernet.init(jax.random.PRNGKey(2), jnp.zeros((1, 768)))["params"]
+    qcfg = QuantizerConfig(layout=layout, n_e=8)
+    qparams = qcfg.init_params(jax.random.PRNGKey(3))
+    qstate = qcfg.init_state(qparams)
+    table = fm.flux_macs(cfg, l_img, l_txt)
+    qstate = qcfg.set_prunable_macs_template(
+        qstate,
+        [[v / table["prunable"] for v in sub] for sub in table["per_submodule_prunable"]],
+    )
+
+    tx = make_optimizer(1e-3)
+    step = make_flux_pruner_step(
+        flux, hypernet, qcfg, layout, cfg, FlowMatchSchedule(), LossConfig(), tx,
+        l_img, l_txt,
+    )
+
+    import ml_dtypes
+
+    frozen_np = np.float32 if args.smoke else ml_dtypes.bfloat16
+    frozen = jax.device_put(
+        {"flux": jax.tree.map(lambda x: x.astype(frozen_np), flux_params)}
+    )
+    jax.block_until_ready(frozen)
+    # gated fwd + input-gradient bwd through the frozen net (~1x fwd: no dW
+    # matmuls) -> ~2 full-transformer forwards of model FLOPs per sample
+    flops_per_sample = None if args.smoke else 2.0 * 2.0 * table["total"]
+    best = mfu = None
+    if args.batch_size:
+        batch_sizes = [args.batch_size]
+    elif args.smoke:
+        batch_sizes = [2]
+    else:
+        batch_sizes = [8, 4, 2]
+    for bs in batch_sizes:
+        try:
+            trainable = jax.device_put({"hypernet": hparams, "quantizer": qparams})
+            opt_state = tx.init(trainable)
+            qs = jax.device_put(qstate)
+            batch = {
+                "latents": jnp.asarray(
+                    rng.standard_normal((bs, l_img, cfg.in_channels)), jnp.float32),
+                "prompt_embeds": jnp.asarray(
+                    rng.standard_normal((bs, l_txt, cfg.joint_attention_dim)),
+                    jnp.float32),
+                "pooled_prompt_embeds": jnp.asarray(
+                    rng.standard_normal((bs, cfg.pooled_projection_dim)), jnp.float32),
+                "img_ids": jnp.asarray(make_image_ids(side, side, bs)),
+                "txt_ids": jnp.zeros((bs, l_txt, 3)),
+                "mpnet_embeddings": jnp.asarray(
+                    rng.standard_normal((bs, 768)), jnp.float32),
+            }
+            print(f"# compiling flux pruner step at batch {bs}...",
+                  file=sys.stderr, flush=True)
+            tw = time.perf_counter()
+            trainable, opt_state, qs, m = step(
+                trainable, opt_state, qs, frozen, batch, jax.random.PRNGKey(0)
+            )
+            print(f"# compiled in {time.perf_counter()-tw:.1f}s "
+                  f"(loss {float(m['loss']):.4f})", file=sys.stderr, flush=True)
+            t0 = time.perf_counter()
+            for i in range(args.steps):
+                trainable, opt_state, qs, m = step(
+                    trainable, opt_state, qs, frozen, batch, jax.random.PRNGKey(i + 1)
+                )
+            _ = float(m["loss"])  # axon: host fetch is the only real barrier
+            dt = time.perf_counter() - t0
+            sps = bs * args.steps / dt
+            print(f"# batch {bs} flux pruning: {sps:.3f} samples/sec "
+                  f"({dt/args.steps*1e3:.1f} ms/step)", file=sys.stderr)
+            best = sps
+            if flops_per_sample is not None:
+                mfu = sps * flops_per_sample / 197e12
+                print(f"# MFU {100*mfu:.1f}% ({flops_per_sample/1e12:.2f} "
+                      f"TFLOPs/sample analytic)", file=sys.stderr)
+            break
+        except Exception as e:
+            print(f"# batch {bs} failed: {type(e).__name__}: {str(e)[:200]}",
+                  file=sys.stderr)
+            trainable = opt_state = qs = batch = None  # noqa: F841
+            import gc
+
+            gc.collect()
+            continue
+    if best is None:
+        raise RuntimeError("all batch sizes failed")
+    return best, mfu
+
+
 def run_gen(args):
     """512px generation throughput: 25-step DDIM CFG on the pruned expert
     (tiny shapes under --smoke)."""
@@ -782,10 +943,17 @@ def main():
                         "repack write-back and the donated param/opt "
                         "boundary stays per-leaf — the cheap subset of "
                         "--packed")
-    p.add_argument("--model", choices=["sd", "sdxl"], default="sd",
+    p.add_argument("--model", choices=["sd", "sdxl", "flux"], default="sd",
                    help="--prune only: which pruning trainer's step to bench "
                         "(sdxl = dual-tower 2048-d context + text_time "
-                        "added_cond over the 2.6B-param gated SDXL U-Net)")
+                        "added_cond over the 2.6B-param gated SDXL U-Net; "
+                        "flux = flow-match objective over a depth-scaled "
+                        "gated Flux MMDiT — see run_prune_flux)")
+    p.add_argument("--flux-layers", type=int, default=7,
+                   help="--prune --model flux: joint MMDiT blocks (full "
+                        "Flux-dev: 19 — frozen bf16 exceeds one 16GB chip)")
+    p.add_argument("--flux-single-layers", type=int, default=14,
+                   help="--prune --model flux: single-stream blocks (full: 38)")
     p.add_argument("--pack-threshold", type=int, default=2 * 1024 * 1024,
                    help="only pack leaves up to this many bytes (larger ones "
                         "pass through as individual buffers); bounds the "
@@ -814,8 +982,11 @@ def main():
     jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
 
     if args.prune:
-        value, mfu = run_prune(args)
-        prefix = "sdxl_" if args.model == "sdxl" else ""
+        if args.model == "flux":
+            value, mfu = run_prune_flux(args)
+        else:
+            value, mfu = run_prune(args)
+        prefix = "" if args.model == "sd" else f"{args.model}_"
         out = {
             "metric": f"{prefix}prune_train_samples_per_sec_per_chip",
             "value": round(float(value), 4),
