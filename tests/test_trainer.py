@@ -109,11 +109,21 @@ def test_pruning_trainer_runs():
         cfg = _config(tmp)
         cfg.training.max_train_steps = 2
         cfg.training.checkpoint_steps = 2
+        cfg.training.validation_steps = 2
+        cfg.training.max_validation_batches = 1
         t = PruningTrainer(cfg)
         t.train()
         rows = _read_metrics(tmp)
-        assert all(np.isfinite(r["loss"]) for r in rows)
-        assert "resource_ratio" in rows[-1]
+        train_rows = [r for r in rows if "loss" in r]
+        assert train_rows and all(np.isfinite(r["loss"]) for r in train_rows)
+        assert "resource_ratio" in train_rows[-1]
+        # pruning-stage validation losses (reference trainer.py:1093-1147)
+        val_rows = [r for r in rows if "val_diff_loss" in r]
+        assert val_rows, "validation losses were not logged"
+        for k in ("val_loss", "val_diff_loss", "val_distill_loss",
+                  "val_block_loss", "val_contrastive_loss",
+                  "val_resource_loss", "val_resource_ratio"):
+            assert np.isfinite(val_rows[-1][k])
         # pruning checkpoint exposes the quantizer embeddings artifact
         step = t.ckpt.latest_step()
         emb_path = os.path.join(t.ckpt.path(step), "quantizer_embeddings.npy")

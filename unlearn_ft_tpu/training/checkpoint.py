@@ -35,11 +35,20 @@ class CheckpointManager:
     once after the loop (trainers do, via ``tracker.finish`` time)."""
 
     def __init__(self, directory: str, total_limit: Optional[int] = None,
-                 async_save: bool = False):
+                 async_save: bool = False, primary_host: Optional[bool] = None):
         self.directory = os.path.abspath(directory)
-        os.makedirs(self.directory, exist_ok=True)
         self.total_limit = total_limit
         self.async_save = bool(async_save)
+        # multi-host: only process 0 writes/rotates — the trees are
+        # host-replicated numpy snapshots, so N processes sharing a
+        # checkpoint dir would race the same orbax write + rotation
+        # (reference gates via accelerate main-process hooks,
+        # trainer.py:311-373). Reads (restore/latest_step) stay unrestricted.
+        self.primary_host = (
+            jax.process_index() == 0 if primary_host is None else bool(primary_host)
+        )
+        if self.primary_host:
+            os.makedirs(self.directory, exist_ok=True)
         self._ckptr = ocp.StandardCheckpointer()
         self._pending: Optional[threading.Thread] = None
         self._pending_err: Optional[BaseException] = None
@@ -82,6 +91,8 @@ class CheckpointManager:
         extra_files: Optional[Dict[str, bytes]] = None,
     ):
         self.wait()  # serialize saves; surface the previous write's failure
+        if not self.primary_host:
+            return  # non-primary hosts skip the write entirely
         # snapshot to host numpy NOW — the caller's device buffers are
         # donated to the next step, and async writing must not race them
         tree = jax.tree.map(np.asarray, jax.device_get(tree))

@@ -575,6 +575,8 @@ class FineTuneTrainer(BaseTrainer):
     def log_samples(self):
         """Generate and save sample images for config prompts (reference
         generate_samples_from_prompts, trainer.py:2543)."""
+        if not self.tracker.primary_host:
+            return  # the sampling pipeline is host-local (no mesh)
         prompts = self.sample_prompts()
         if not prompts or self.text_params is None:
             return

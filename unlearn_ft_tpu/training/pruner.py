@@ -193,11 +193,16 @@ class PruningTrainer(FineTuneTrainer):
         }
 
     def validate(self):
-        """Log quantizer codebook pairwise similarity + per-expert resource
-        ratios as heatmaps (reference trainer.py:1037-1068, 1411-1417), plus
-        expert sample grids and routed samples when `data.prompts` is set
-        (generate_samples_from_prompts / log_quantizer_embedding_samples,
-        trainer.py:1375-1470)."""
+        """Validation losses over the val split (reference UnetPruner.validate,
+        trainer.py:1093-1147: val diff/distill/block/contrastive/resource on
+        the quantizer's eval hard path), then quantizer codebook pairwise
+        similarity + per-expert resource ratios as heatmaps (reference
+        trainer.py:1037-1068, 1411-1417), plus expert sample grids and routed
+        samples when `data.prompts` is set (generate_samples_from_prompts /
+        log_quantizer_embedding_samples, trainer.py:1375-1470)."""
+        self._validate_losses()
+        if not self.tracker.primary_host:
+            return  # heatmaps/samples are host-local file writes
         emb_gs = np.asarray(jax.device_get(self.qstate["embedding_gs"]))
         hard = (emb_gs >= 0.5).astype(np.float32)
         self._log_codebook_similarity(hard)
@@ -208,6 +213,50 @@ class PruningTrainer(FineTuneTrainer):
         )
         logger.info("expert resource ratios: %s", [f"{r:.3f}" for r in ratios])
         self.log_expert_samples()
+
+    def _validate_losses(self):
+        """Mean val losses over (up to max_validation_batches of) the val
+        split, logged as val_* (reference trainer.py:1136-1147 reduces the
+        same way with accelerator.reduce(..., 'mean'))."""
+        if self.val_loader is None:
+            return
+        if not hasattr(self, "_eval_step"):
+            from .steps import make_pruner_eval_step
+
+            self._eval_step = make_pruner_eval_step(
+                self.unet, self.hypernet, self.qcfg, self.vae, self.layout,
+                self.full_spec, self.sched, self.loss_cfg,
+                seq_kv=int(self.config.get_path("data.synthetic_seq_len", 77)),
+                pretrain=bool(self.config.get_path(
+                    "training.hypernet_pretraining", False)),
+                frozen_spec=getattr(self, "_frozen_spec", None),
+            )
+        from ..parallel import shard_batch
+
+        max_batches = int(
+            self.config.get_path("training.max_validation_batches", 0) or 8
+        )
+        sums: Dict = {}
+        n = 0
+        for i, batch in enumerate(self.val_loader):
+            if i >= max_batches:
+                break
+            batch = shard_batch(batch, self.mesh)
+            m = self._eval_step(
+                self.trainable, self.qstate, self._frozen_packed, batch,
+                jax.random.PRNGKey(2000 + i),
+            )
+            for k in ("loss", "diff_loss", "distill_loss", "block_loss",
+                      "contrastive_loss", "resource_loss", "resource_ratio"):
+                sums[k] = sums.get(k, 0.0) + float(m[k])
+            n += 1
+        if n:
+            logs = {f"val_{k}": v / n for k, v in sums.items()}
+            self.tracker.log(logs, step=self.global_step)
+            logger.info(
+                "validation | %s",
+                " ".join(f"{k}={v:.4f}" for k, v in sorted(logs.items())),
+            )
 
     def log_samples(self):
         # image_logging_steps cadence (reference trainer.py:1375-1470)
@@ -290,6 +339,8 @@ class PruningTrainer(FineTuneTrainer):
         """Save (a) per-expert sample grids from the codebook architectures
         and (b) hypernet-routed samples for `data.prompts` under the run dir
         (reference trainer.py:1375-1470)."""
+        if not self.tracker.primary_host:
+            return  # the pipeline is host-local (no mesh): skip entirely
         prompts = self.sample_prompts()
         if not prompts:
             return
@@ -336,14 +387,16 @@ class PruningTrainer(FineTuneTrainer):
             "qstate_embedding_gs": jax.device_get(self.qstate["embedding_gs"]),
             "step": self.global_step,
         }
+        # the artifact every downstream stage consumes (trainer.py:2159-2161)
+        # rides through extra_files so it lands atomically with the orbax
+        # tree and inherits the primary-host write gating
+        import io
+
+        buf = io.BytesIO()
+        np.save(buf, np.asarray(jax.device_get(self.qstate["embedding_gs"])))
         self.ckpt.save(
             self.global_step, tree,
-            extra_files={},
-        )
-        # the artifact every downstream stage consumes (trainer.py:2159-2161)
-        np.save(
-            os.path.join(self.ckpt.path(self.global_step), "quantizer_embeddings.npy"),
-            np.asarray(jax.device_get(self.qstate["embedding_gs"])),
+            extra_files={"quantizer_embeddings.npy": buf.getvalue()},
         )
         logger.info("saved pruning checkpoint-%d", self.global_step)
 

@@ -666,6 +666,123 @@ def _accumulated_pruner_grads(grad_fn, accum, trainable, quant_state, frozen, ba
 # APTP pruning step (UnetPruner.step, trainer.py:1159-1321)
 # ---------------------------------------------------------------------------
 
+def _pruner_loss_fn(
+    unet, hypernet, quantizer_cfg, vae, layout, spec, sched, loss_cfg,
+    seq_kv, pretrain, macs_table,
+):
+    """Shared loss surface of the pruning stage: the train step
+    differentiates it (make_pruner_step), validation evaluates it with
+    ``training=False`` (make_pruner_eval_step — the quantizer then takes
+    its eval hard-assignment path and leaves the codebook state alone)."""
+
+    def loss_for(p, quant_state, frozen, batch, rng, training):
+        k_vae, k_fwd, k_q, k_gs = jax.random.split(rng, 4)
+        latents = _get_latents(vae, frozen["vae"], batch, k_vae)
+        noisy, timesteps, target = _forward_process(sched, loss_cfg, latents, k_fwd)
+        ctx = batch["prompt_embeds"]
+        mpnet_emb = batch["mpnet_embeddings"]
+        batch_size = latents.shape[0]
+
+        ones = layout.ones(batch_size)
+        teacher_pred, teacher_acts = unet.apply(
+            {"params": frozen["unet"]}, noisy, timesteps, ctx, ones,
+            return_block_activations=True,
+        )
+        teacher_pred = jax.lax.stop_gradient(teacher_pred)
+        teacher_acts = jax.lax.stop_gradient(teacher_acts)
+
+        # full-structure denominator for resource ratios (count_macs,
+        # trainer.py:1344-1363)
+        full_cur_prunable = macs_lib.calc_macs(spec, ones, seq_kv, macs_table)[
+            "cur_prunable"][0]
+
+        arch_logits = hypernet.apply({"params": p["hypernet"]}, mpnet_emb)
+        zq, idx, new_qstate = quantizer_cfg(
+            k_q, p["quantizer"], quant_state, arch_logits, training=training
+        )
+        arch_gs = quantizer_cfg.gumbel_sigmoid_trick(k_gs, arch_logits)
+        arch_norm = quantizer_cfg.width_depth_normalize(quant_state, arch_gs)
+
+        c_loss, sim = contrastive_loss(mpnet_emb, arch_norm)
+
+        structure = layout.split(arch_gs if pretrain else zq)
+        pred, acts = unet.apply(
+            {"params": frozen["unet"]}, noisy, timesteps, ctx, structure,
+            return_block_activations=True,
+        )
+
+        d_loss = diffusion_loss(
+            pred, target, timesteps, sched.alphas_cumprod, loss_cfg.snr_gamma,
+            sched.prediction_type,
+        )
+        dist = distillation_loss(pred, teacher_pred)
+        blk = block_distillation_loss(acts, teacher_acts)
+
+        macs_dict = macs_lib.calc_macs(spec, structure, seq_kv, macs_table)
+        ratios = macs_dict["cur_prunable"] / full_cur_prunable
+        r_loss = resource_loss(ratios.mean(), loss_cfg.resource_target,
+                               loss_cfg.resource_type)
+        std_loss = -jnp.std(ratios)
+        max_loss = 1.0 - jnp.max(ratios)
+
+        loss = (
+            loss_cfg.diffusion_weight * d_loss
+            + loss_cfg.resource_weight * r_loss
+            + loss_cfg.contrastive_weight * c_loss
+            + loss_cfg.distillation_weight * dist
+            + loss_cfg.block_weight * blk
+            + loss_cfg.std_weight * std_loss
+            + loss_cfg.max_weight * max_loss
+        )
+        metrics = {
+            "loss": loss, "diff_loss": d_loss, "distill_loss": dist,
+            "block_loss": blk, "contrastive_loss": c_loss, "resource_loss": r_loss,
+            "resource_ratio": ratios.mean(), "batch_resource_ratios": ratios,
+            "expert_indices": idx,
+        }
+        return loss, (metrics, new_qstate)
+
+    return loss_for
+
+
+def make_pruner_eval_step(
+    unet,
+    hypernet,
+    quantizer_cfg,
+    vae,
+    layout: GateLayout,
+    spec,
+    sched: DiffusionSchedule,
+    loss_cfg: LossConfig,
+    seq_kv: int = 77,
+    pretrain: bool = False,
+    frozen_spec=None,
+):
+    """Validation losses over the val split (reference UnetPruner.validate,
+    trainer.py:1093-1147): the train step's full loss surface — diff /
+    distill / block / contrastive / resource — with no gradients or updates
+    and the quantizer's eval path (hard embedding_gs assignment). Returns
+    the metrics dict."""
+    macs_table = macs_lib.unet_macs(spec, seq_kv)
+    loss_for = _pruner_loss_fn(
+        unet, hypernet, quantizer_cfg, vae, layout, spec, sched, loss_cfg,
+        seq_kv, pretrain, macs_table,
+    )
+
+    @jax.jit
+    def eval_step(trainable, quant_state, frozen, batch, rng):
+        if frozen_spec is not None:
+            from ..utils.packing import unpack
+
+            frozen = unpack(frozen, frozen_spec)
+        _, (metrics, _) = loss_for(
+            trainable, quant_state, frozen, batch, rng, training=False
+        )
+        return metrics
+
+    return eval_step
+
+
 def make_pruner_step(
     unet,
     hypernet,
@@ -693,79 +810,16 @@ def make_pruner_step(
     trees are tiny, but the frozen gated U-Net is ~900 leaf buffers of
     per-dispatch bookkeeping (see make_packed_finetune_step)."""
     macs_table = macs_lib.unet_macs(spec, seq_kv)
+    loss_for = _pruner_loss_fn(
+        unet, hypernet, quantizer_cfg, vae, layout, spec, sched, loss_cfg,
+        seq_kv, pretrain, macs_table,
+    )
 
     def make_grad_fn(training):
         def grad_fn(trainable, quant_state, frozen, batch, rng):
-            k_vae, k_fwd, k_q, k_gs = jax.random.split(rng, 4)
-            latents = _get_latents(vae, frozen["vae"], batch, k_vae)
-            noisy, timesteps, target = _forward_process(sched, loss_cfg, latents, k_fwd)
-            ctx = batch["prompt_embeds"]
-            mpnet_emb = batch["mpnet_embeddings"]
-            batch_size = latents.shape[0]
-
-            ones = layout.ones(batch_size)
-            teacher_pred, teacher_acts = unet.apply(
-                {"params": frozen["unet"]}, noisy, timesteps, ctx, ones,
-                return_block_activations=True,
-            )
-            teacher_pred = jax.lax.stop_gradient(teacher_pred)
-            teacher_acts = jax.lax.stop_gradient(teacher_acts)
-
-            # full-structure denominator for resource ratios (count_macs,
-            # trainer.py:1344-1363)
-            full_cur_prunable = macs_lib.calc_macs(spec, ones, seq_kv, macs_table)[
-                "cur_prunable"][0]
-
-            def loss_fn(p):
-                arch_logits = hypernet.apply({"params": p["hypernet"]}, mpnet_emb)
-                zq, idx, new_qstate = quantizer_cfg(
-                    k_q, p["quantizer"], quant_state, arch_logits, training=training
-                )
-                arch_gs = quantizer_cfg.gumbel_sigmoid_trick(k_gs, arch_logits)
-                arch_norm = quantizer_cfg.width_depth_normalize(quant_state, arch_gs)
-
-                c_loss, sim = contrastive_loss(mpnet_emb, arch_norm)
-
-                structure = layout.split(arch_gs if pretrain else zq)
-                pred, acts = unet.apply(
-                    {"params": frozen["unet"]}, noisy, timesteps, ctx, structure,
-                    return_block_activations=True,
-                )
-
-                d_loss = diffusion_loss(
-                    pred, target, timesteps, sched.alphas_cumprod, loss_cfg.snr_gamma,
-                    sched.prediction_type,
-                )
-                dist = distillation_loss(pred, teacher_pred)
-                blk = block_distillation_loss(acts, teacher_acts)
-
-                macs_dict = macs_lib.calc_macs(spec, structure, seq_kv, macs_table)
-                ratios = macs_dict["cur_prunable"] / full_cur_prunable
-                r_loss = resource_loss(ratios.mean(), loss_cfg.resource_target,
-                                       loss_cfg.resource_type)
-                std_loss = -jnp.std(ratios)
-                max_loss = 1.0 - jnp.max(ratios)
-
-                loss = (
-                    loss_cfg.diffusion_weight * d_loss
-                    + loss_cfg.resource_weight * r_loss
-                    + loss_cfg.contrastive_weight * c_loss
-                    + loss_cfg.distillation_weight * dist
-                    + loss_cfg.block_weight * blk
-                    + loss_cfg.std_weight * std_loss
-                    + loss_cfg.max_weight * max_loss
-                )
-                metrics = {
-                    "loss": loss, "diff_loss": d_loss, "distill_loss": dist,
-                    "block_loss": blk, "contrastive_loss": c_loss, "resource_loss": r_loss,
-                    "resource_ratio": ratios.mean(), "batch_resource_ratios": ratios,
-                    "expert_indices": idx,
-                }
-                return loss, (metrics, new_qstate)
-
             (loss, (metrics, new_qstate)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True
-            )(trainable)
+                loss_for, has_aux=True
+            )(trainable, quant_state, frozen, batch, rng, training)
             return loss, grads, metrics, new_qstate
 
         return grad_fn

@@ -54,9 +54,20 @@ def create_heatmap(matrix, path: str, title: str = ""):
 class Tracker:
     """wandb if importable and configured, else JSONL scalars file."""
 
-    def __init__(self, config, logging_dir: str):
+    def __init__(self, config, logging_dir: str, primary_host: bool = None):
         self.logging_dir = logging_dir
         self._wandb = None
+        self._f = None
+        # multi-host: metrics are identical on every host (replicated step
+        # outputs) — only process 0 opens wandb / the JSONL file, like the
+        # reference's accelerate main-process trackers (trainer.py:394-403)
+        if primary_host is None:
+            import jax
+
+            primary_host = jax.process_index() == 0
+        self.primary_host = bool(primary_host)
+        if not self.primary_host:
+            return
         report_to = config.get_path("training.logging.report_to", "jsonl")
         if report_to == "wandb":
             try:
@@ -75,6 +86,8 @@ class Tracker:
         self._f = open(os.path.join(logging_dir, "metrics.jsonl"), "a")
 
     def log(self, metrics: Dict, step: Optional[int] = None):
+        if not self.primary_host:
+            return
         scalars = {}
         for k, v in metrics.items():
             try:
@@ -89,4 +102,5 @@ class Tracker:
     def finish(self):
         if self._wandb is not None:
             self._wandb.finish()
-        self._f.close()
+        if self._f is not None:
+            self._f.close()
