@@ -55,6 +55,63 @@ def clip_style_similarity(image_dir: str, artist: str, clip_model: str):
     return float(np.mean(sims)), len(sims)
 
 
+def csd_style_similarity(image_dir: str, csd_model: str, style_ref_dir: str):
+    """CSD scoring (the reference's protocol: it defers artist-style
+    similarity to the external CSD repo, reference README.md:162). Loads the
+    published CSD checkpoint — a CLIP ViT-L/14 vision tower ('backbone.*'
+    keys, mapped onto transformers' CLIPVisionModel) with a style projection
+    head ('last_layer_style') — embeds generated and reference-style images,
+    and returns the mean max-over-references cosine similarity per image."""
+    import torch
+    from transformers import CLIPVisionConfig, CLIPVisionModel
+
+    from unlearn_ft_tpu.utils.image_io import iter_images
+
+    sd = torch.load(csd_model, map_location="cpu", weights_only=True)
+    sd = sd.get("model_state_dict", sd)
+    sd = {k.removeprefix("module."): v for k, v in sd.items()}
+    style_head = sd["last_layer_style"]  # [D_style, width] projection
+
+    cfg = CLIPVisionConfig(
+        hidden_size=1024, intermediate_size=4096, num_hidden_layers=24,
+        num_attention_heads=16, image_size=224, patch_size=14,
+    )  # ViT-L/14 — the CSD backbone
+    model = CLIPVisionModel(cfg).eval()
+    # CSD saves the open-clip visual tower under 'backbone.'; the tensor
+    # names match transformers' CLIPVisionModel modulo the prefix
+    backbone = {
+        k.removeprefix("backbone."): v for k, v in sd.items()
+        if k.startswith("backbone.")
+    }
+    missing, unexpected = model.load_state_dict(backbone, strict=False)
+    if len(missing) > len(backbone) // 2:
+        raise ValueError(
+            f"--csd_model {csd_model}: state dict does not look like a CSD "
+            f"checkpoint ({len(missing)} unmapped backbone keys)"
+        )
+    mean = torch.tensor([0.48145466, 0.4578275, 0.40821073])[:, None, None]
+    std = torch.tensor([0.26862954, 0.26130258, 0.27577711])[:, None, None]
+
+    @torch.no_grad()
+    def embed_dir(d):
+        feats = []
+        for img in iter_images(d):
+            x = torch.from_numpy(img).permute(2, 0, 1).float() / 255.0
+            x = torch.nn.functional.interpolate(
+                x[None], size=(224, 224), mode="bicubic", align_corners=False
+            )
+            x = (x - mean) / std
+            pooled = model(pixel_values=x).pooler_output
+            f = pooled @ style_head.T
+            feats.append(f / f.norm(dim=-1, keepdim=True))
+        return torch.cat(feats)
+
+    gen = embed_dir(image_dir)
+    ref = embed_dir(style_ref_dir)
+    sims = (gen @ ref.T).max(dim=-1).values
+    return float(sims.mean()), int(gen.shape[0])
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--image_dir", default=None,
@@ -74,6 +131,14 @@ def main(argv=None):
     p.add_argument("--resolution", type=int, default=512)
     p.add_argument("--skip_scoring", action="store_true")
     p.add_argument("--clip_model", default="openai/clip-vit-base-patch32")
+    p.add_argument("--csd_model", default=None,
+                   help="path to the published CSD checkpoint (.pt): scores "
+                        "with CSD style embeddings — the reference protocol "
+                        "(README.md:162) — instead of the CLIP proxy; "
+                        "requires --style_ref_dir")
+    p.add_argument("--style_ref_dir", default=None,
+                   help="directory of reference artist-style images for CSD "
+                        "scoring")
     p.add_argument("--out", default=None, help="results JSON path")
     args = p.parse_args(argv)
 
@@ -123,8 +188,18 @@ def main(argv=None):
     if args.skip_scoring:
         print(json.dumps({"image_dir": image_dir, "scored": False}))
         return
-    sim, n = clip_style_similarity(image_dir, args.artist, args.clip_model)
-    result = {"artist": args.artist, "style_similarity": sim, "images": n}
+    if args.csd_model:
+        assert args.style_ref_dir, "--csd_model requires --style_ref_dir"
+        sim, n = csd_style_similarity(image_dir, args.csd_model, args.style_ref_dir)
+        scorer = "csd"
+    else:
+        # deviation from the reference protocol: CLIP anchor-prompt
+        # similarity is a PROXY for CSD style similarity — not comparable
+        # to CSD numbers (pass --csd_model to use the real protocol)
+        sim, n = clip_style_similarity(image_dir, args.artist, args.clip_model)
+        scorer = "clip-proxy"
+    result = {"artist": args.artist, "style_similarity": sim, "images": n,
+              "scorer": scorer}
     print(json.dumps(result))
     if args.out:
         with open(args.out, "w") as f:

@@ -61,6 +61,8 @@ def torch_fid(gen_dir, ref_dir, batch_size=32):
 
 
 def main(argv=None):
+    import json
+
     p = argparse.ArgumentParser()
     p.add_argument("--gen_dir", required=True)
     p.add_argument("--dataset_name", default="coco_val_2017")
@@ -70,12 +72,24 @@ def main(argv=None):
 
     try:
         score = cleanfid_score(args.gen_dir, args.dataset_name, args.dataset_split)
-        mode = "clean-fid legacy_pytorch"
+        protocol = "cleanfid-legacy_pytorch"
     except ImportError:
         assert args.ref_dir, "clean-fid unavailable; --ref_dir required for fallback FID"
         score = torch_fid(args.gen_dir, args.ref_dir)
-        mode = "torchvision inception fallback"
-    print(f"FID ({mode}): {score:.4f}")
+        protocol = "torchvision-fallback"
+        # the fallback's Inception weights/resize differ from clean-fid
+        # legacy_pytorch: its numbers are NOT comparable to the paper's
+        # protocol (reference fid.py:21 pins mode="legacy_pytorch")
+        print(
+            "WARNING: clean-fid unavailable — torchvision-Inception fallback "
+            "FID is NOT the reference protocol; do not compare against "
+            "clean-fid legacy_pytorch numbers",
+            file=sys.stderr,
+        )
+    # machine-readable, self-describing output (last line is JSON)
+    print(f"FID ({protocol}): {score:.4f}")
+    print(json.dumps({"metric": "fid", "value": round(float(score), 4),
+                      "protocol": protocol}))
 
 
 if __name__ == "__main__":
