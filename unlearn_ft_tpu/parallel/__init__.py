@@ -1,1 +1,7 @@
-from .mesh import create_mesh, replicate, shard_batch, shard_moments  # noqa: F401
+from .mesh import (  # noqa: F401
+    create_mesh,
+    replicate,
+    shard_batch,
+    shard_moments,
+    shard_params,
+)

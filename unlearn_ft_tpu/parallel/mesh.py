@@ -83,3 +83,16 @@ def shard_moments(tree, mesh: Mesh, axis_name: str = "dp"):
     return jax.tree.map(
         lambda x: jax.device_put(x, NamedSharding(mesh, spec_for(x))), tree
     )
+
+
+def shard_params(tree, mesh: Mesh, axis_name: str = "dp"):
+    """FSDP-style sharding for FROZEN towers: each leaf's largest
+    dp-divisible dimension splits across the mesh (same heuristic as
+    shard_moments), so each chip holds 1/N of the weights and XLA
+    all-gathers each one at its use site. The towers are read-only, so
+    there is no scatter-back — plain weight gathering is exact, not an
+    approximation. This is what unlocks full-scale Flux-dev pruning
+    (reference trainer.py:1596-2113 trains it on H100s): the 11.8B frozen
+    tower is ~24GB bf16 — over one 16GB v5e chip it cannot exist, over a
+    v5e-8 dp mesh it is ~3GB/chip. Config key: parallel.shard_frozen."""
+    return shard_moments(tree, mesh, axis_name)

@@ -111,10 +111,9 @@ class FineTuneTrainer(BaseTrainer):
         # teacher tree, and the train step donates the student params —
         # aliased buffers would invalidate the frozen teacher
         self.params = replicate(jax.tree.map(np.copy, student_params), self.mesh)
-        self.frozen = replicate(
+        self.frozen = self.place_frozen(
             {"teacher": jax.tree.map(jnp.asarray, teacher_params),
-             "vae": self.vae_params},
-            self.mesh,
+             "vae": self.vae_params}
         )
 
     def _resolve_arch_vector(self) -> Optional[np.ndarray]:

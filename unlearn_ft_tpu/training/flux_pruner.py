@@ -106,7 +106,9 @@ class FluxPruningTrainer(PruningTrainer):
         self.arch_vector = None
         self.trainable = replicate({"hypernet": hparams, "quantizer": qparams}, self.mesh)
         self.qstate = replicate(qstate, self.mesh)
-        self.frozen = replicate({"flux": jax.tree.map(jnp.asarray, flux_params)}, self.mesh)
+        # parallel.shard_frozen: full-scale Flux-dev's 11.8B frozen tower
+        # exceeds one 16GB chip — FSDP-shard it over dp (place_frozen)
+        self.frozen = self.place_frozen({"flux": jax.tree.map(jnp.asarray, flux_params)})
         self._init_flux_towers()
 
     def _init_flux_towers(self):

@@ -120,9 +120,8 @@ class PruningTrainer(FineTuneTrainer):
 
         self.trainable = replicate({"hypernet": hparams, "quantizer": qparams}, self.mesh)
         self.qstate = replicate(qstate, self.mesh)
-        self.frozen = replicate(
-            {"unet": jax.tree.map(jnp.asarray, unet_params), "vae": self.vae_params},
-            self.mesh,
+        self.frozen = self.place_frozen(
+            {"unet": jax.tree.map(jnp.asarray, unet_params), "vae": self.vae_params}
         )
 
     def init_optimizers(self):
@@ -151,6 +150,12 @@ class PruningTrainer(FineTuneTrainer):
         self._frozen_spec = None
         self._frozen_packed = self.frozen
         if self.config.get_path("training.packed_dispatch", False):
+            if self.config.get_path("parallel.shard_frozen", False):
+                raise ValueError(
+                    "training.packed_dispatch is incompatible with "
+                    "parallel.shard_frozen: packing flattens the frozen "
+                    "towers into replicated buffers, defeating the sharding"
+                )
             from ..utils.packing import make_pack_spec, pack
 
             thr = int(self.config.get_path(

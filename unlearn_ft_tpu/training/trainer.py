@@ -203,6 +203,19 @@ class BaseTrainer:
         )
 
     # ---- shared model builders ----------------------------------------------
+    def place_frozen(self, tree):
+        """Frozen-tower device placement: replicated by default;
+        ``parallel.shard_frozen: true`` shards them FSDP-style over the dp
+        axis (parallel.shard_params — XLA all-gathers each weight at its
+        use site) for towers that exceed per-chip HBM, e.g. full-scale
+        Flux-dev's 11.8B frozen transformer (reference trains it on H100s,
+        trainer.py:1596-2113)."""
+        from ..parallel import shard_params
+
+        if bool(self.config.get_path("parallel.shard_frozen", False)):
+            return shard_params(tree, self.mesh)
+        return replicate(tree, self.mesh)
+
     def build_frozen_towers(self):
         """VAE + CLIP (+MPNet) from local HF dirs, or tiny random models when
         the config carries explicit tiny configs (tests / smoke runs)."""
