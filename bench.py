@@ -7,16 +7,32 @@ student fwd/bwd on a second AdamW) per 10, the reference cadence
 (upper_step_freq=10, trainer.py:2793-2816) — at 512px on real SD-2.1 shapes.
 Weights are randomly/zeros initialized — throughput is weight-independent —
 and the student is a ~55%-MACs materialized expert, mirroring the reference's
-expert-2 checkpoint. By default the bilevel mode runs batch 8 x grad-accum 2
-— the reference bilevel config's effective batch 16/chip
+expert-2 checkpoint. The best bilevel configuration is batch 8 x grad-accum
+2 — the reference bilevel config's effective batch 16/chip
 (configs/baselines/sd-2-1_coco_aptp_both_512_bilevel.yaml:48), accumulated
 inside the jitted step. ``--lower-only`` reproduces round 1's
 lower-step-only number.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+The driver reads the LAST JSON line printed, so the default bilevel mode is
+staged to survive a hard timeout from a cold jit cache:
+
+  stage A: batch 8 x accum 1 (the round-2 driver-verified mode, ~565s cold
+           compile) — measured and its JSON line printed IMMEDIATELY;
+  stage B: batch 8 x accum 2 (the reference's effective batch 16/chip,
+           faster once compiled but with a much longer cold compile) —
+           attempted only if enough of the assumed time budget remains, in
+           a subprocess with its own timeout; an improved JSON line is
+           printed only if it completes and beats stage A.
+
+Either way the process exits 0 with at least one valid JSON line well
+inside the budget (env BENCH_BUDGET_S, default 1000s — round 2's full cold
+run finished in ~800s under the driver). ``--grad-accum N`` skips staging
+and runs one mode directly.
+
 ``vs_baseline`` is measured against an estimated 10 samples/sec/GPU for the
 reference's torch/accelerate loop on A100 (the repo publishes no numbers —
-BASELINE.json published:{}; see BASELINE.md).
+BASELINE.json published:{}; see BASELINE.md). The --prune modes scale that
+estimate by each model's per-step compute (see EST_BASELINE_PRUNE).
 """
 import argparse
 import json
@@ -27,6 +43,15 @@ import numpy as np
 
 
 EST_REFERENCE_A100_SAMPLES_PER_SEC = 10.0
+# --prune vs_baseline denominators, scaled from the SD estimate by per-step
+# model compute (the reference publishes no numbers for any of them):
+#   sd   — teacher fwd + gated fwd + input-only bwd over the 866M U-Net:
+#          same cost class as the bilevel lower step -> 10.0
+#   sdxl — the gated SDXL U-Net is ~2.6B params / ~3x the SD step FLOPs at
+#          512px -> 10/3
+#   flux — a ~4.3B-param MMDiT fwd+bwd at 1024+512 tokens is ~10x the SD
+#          pruning step's FLOPs -> 1.0
+EST_BASELINE_PRUNE = {"sd": 10.0, "sdxl": 10.0 / 3.0, "flux": 1.0}
 
 
 def build(args):
@@ -359,6 +384,38 @@ def run(args):
             # warmup/compile. NOTE: host value fetches (float()) are used as
             # the sync barrier — on the experimental axon platform,
             # block_until_ready returns before remote execution finishes.
+            if not args.lower_only:
+                upper_batch = dict(batch)
+                upper_batch["empty_prompt_embeds"] = jnp.zeros_like(batch["prompt_embeds"])
+            if not args.lower_only and getattr(args, "parallel_precompile", False):
+                # overlap the two cold compiles: XLA compilation releases
+                # the GIL, so AOT-compiling lower+upper in two threads costs
+                # max(644s, 285s) instead of their sum from a cold cache
+                # (measured r4: 634.8s); .compile() populates the persistent
+                # cache, so the real calls below load the executables in
+                # seconds. OPT-IN (--parallel-precompile): AOT .compile()
+                # does not READ the persistent cache, so on a warm cache
+                # this would re-pay the full compile — the staged runner
+                # enables it only when the cache looks cold.
+                try:
+                    import concurrent.futures as cf
+
+                    print(f"# precompiling lower+upper steps at batch {bs} "
+                          f"(parallel)...", file=sys.stderr, flush=True)
+                    tw = time.perf_counter()
+                    lw = step.lower(params, opt_state, frozen, batch,
+                                    jax.random.PRNGKey(0))
+                    uw = upper_step.lower(params, upper_opt_state, frozen,
+                                          upper_batch, jax.random.PRNGKey(0))
+                    with cf.ThreadPoolExecutor(2) as ex:
+                        list(ex.map(lambda l: l.compile(), (lw, uw)))
+                    del lw, uw
+                    print(f"# precompiled in {time.perf_counter()-tw:.1f}s",
+                          file=sys.stderr, flush=True)
+                except Exception as e:  # fall back to sequential first-call
+                    print(f"# parallel precompile failed "
+                          f"({type(e).__name__}: {str(e)[:120]}); compiling "
+                          f"sequentially", file=sys.stderr, flush=True)
             print(f"# compiling lower step at batch {bs}...", file=sys.stderr, flush=True)
             tw = time.perf_counter()
             params, opt_state, m = step(params, opt_state, frozen, batch, jax.random.PRNGKey(0))
@@ -366,8 +423,6 @@ def run(args):
             print(f"# compiled in {time.perf_counter()-tw:.1f}s (loss {warm_loss:.4f})",
                   file=sys.stderr, flush=True)
             if not args.lower_only:
-                upper_batch = dict(batch)
-                upper_batch["empty_prompt_embeds"] = jnp.zeros_like(batch["prompt_embeds"])
                 print(f"# compiling upper step at batch {bs}...", file=sys.stderr, flush=True)
                 tw = time.perf_counter()
                 params, upper_opt_state, um = upper_step(
@@ -662,25 +717,29 @@ def run_prune_flux(args):
                          axes_dims_rope=(2, 2, 4), ff_gate_width=2)
         l_img, l_txt = 16, 4
     else:
+        # guidance_embeds=True + a guidance vector: the reference Flux-dev
+        # pruning run's configuration (trainer.py:1792-1798)
         cfg = FluxConfig(num_layers=args.flux_layers,
-                         num_single_layers=args.flux_single_layers)
+                         num_single_layers=args.flux_single_layers,
+                         guidance_embeds=True)
         # 512px -> 64x64 latent -> 2x2-packed 32x32 = 1024 image tokens;
         # T5 text tokens at the reference Flux cap (max_sequence_length 512)
-        side = args.resolution // 16
-        l_img, l_txt = side * side, 512
+        packed_side = args.resolution // 16
+        l_img, l_txt = packed_side * packed_side, 512
     layout = flux_gate_layout(cfg)
     flux = GatedFluxTransformer2DModel(cfg, dtype=dtype, remat=args.remat,
                                        remat_policy=args.remat_policy)
 
     rng = np.random.default_rng(0)
-    # make_image_ids takes the pre-packing latent side: side//2 ** 2 tokens
-    side = int(2 * np.sqrt(l_img))
+    # make_image_ids takes the PRE-packing latent side (= 2x the packed
+    # side): (latent_side//2)**2 packed tokens
+    latent_side = int(2 * np.sqrt(l_img))
     f_shape = jax.eval_shape(
         lambda k: flux.init(
             k, jnp.zeros((1, l_img, cfg.in_channels), dtype),
             jnp.zeros((1, l_txt, cfg.joint_attention_dim), dtype),
             jnp.zeros((1, cfg.pooled_projection_dim), dtype),
-            jnp.zeros((1,), dtype), jnp.asarray(make_image_ids(side, side, 1)),
+            jnp.zeros((1,), dtype), jnp.asarray(make_image_ids(latent_side, latent_side, 1)),
             jnp.zeros((1, l_txt, 3)), None, layout.ones(1),
         ), jax.random.PRNGKey(0),
     )["params"]
@@ -699,6 +758,33 @@ def run_prune_flux(args):
     print(f"# gated flux: {n_p/1e9:.2f}B params "
           f"({cfg.num_layers} joint + {cfg.num_single_layers} single)",
           file=sys.stderr)
+    if not args.smoke and (cfg.num_layers, cfg.num_single_layers) != (19, 38):
+        # per-chip HBM math for the FULL Flux-dev config (19+38) under
+        # parallel.shard_frozen (FSDP-sharded frozen tower; validated by
+        # __graft_entry__.dryrun_multichip at full depth / reduced width).
+        # eval_shape = pure tracing: exact param count, no allocation.
+        import dataclasses
+
+        full_cfg = dataclasses.replace(cfg, num_layers=19, num_single_layers=38)
+        full_flux = GatedFluxTransformer2DModel(full_cfg, dtype=dtype)
+        full_shape = jax.eval_shape(
+            lambda k: full_flux.init(
+                k, jnp.zeros((1, l_img, full_cfg.in_channels), dtype),
+                jnp.zeros((1, l_txt, full_cfg.joint_attention_dim), dtype),
+                jnp.zeros((1, full_cfg.pooled_projection_dim), dtype),
+                jnp.zeros((1,), dtype),
+                jnp.asarray(make_image_ids(latent_side, latent_side, 1)),
+                jnp.zeros((1, l_txt, 3)),
+                jnp.zeros((1,), dtype) if full_cfg.guidance_embeds else None,
+                flux_gate_layout(full_cfg).ones(1),
+            ), jax.random.PRNGKey(0),
+        )["params"]
+        n_full = sum(int(np.prod(s.shape)) for s in jax.tree.leaves(full_shape))
+        gb = n_full * 2 / 2**30  # bf16
+        print(f"# full Flux-dev (19+38): {n_full/1e9:.2f}B params, "
+              f"{gb:.1f}GB bf16 frozen -> with parallel.shard_frozen: "
+              f"{gb/8:.2f}GB/chip on v5e-8, {gb/16:.2f}GB/chip on v5e-16 "
+              f"(vs 16GB HBM/chip)", file=sys.stderr)
 
     hypernet = HyperStructure(layout, input_dim=768)
     hparams = hypernet.init(jax.random.PRNGKey(2), jnp.zeros((1, 768)))["params"]
@@ -725,7 +811,11 @@ def run_prune_flux(args):
     )
     jax.block_until_ready(frozen)
     # gated fwd + input-gradient bwd through the frozen net (~1x fwd: no dW
-    # matmuls) -> ~2 full-transformer forwards of model FLOPs per sample
+    # matmuls) -> ~2 full-transformer forwards of model FLOPs per sample.
+    # UNDERcounts slightly: the attention-score backward still needs
+    # dQ/dK/dV (~2x the forward attention matmuls at L=1536), and remat
+    # recompute (--remat default on) is not counted — algorithmic MFU,
+    # so the printed MFU is a floor.
     flops_per_sample = None if args.smoke else 2.0 * 2.0 * table["total"]
     best = mfu = None
     if args.batch_size:
@@ -747,7 +837,7 @@ def run_prune_flux(args):
                     jnp.float32),
                 "pooled_prompt_embeds": jnp.asarray(
                     rng.standard_normal((bs, cfg.pooled_projection_dim)), jnp.float32),
-                "img_ids": jnp.asarray(make_image_ids(side, side, bs)),
+                "img_ids": jnp.asarray(make_image_ids(latent_side, latent_side, bs)),
                 "txt_ids": jnp.zeros((bs, l_txt, 3)),
                 "mpnet_embeddings": jnp.asarray(
                     rng.standard_normal((bs, 768)), jnp.float32),
@@ -883,6 +973,104 @@ def run_gen(args):
     return ips, mfu
 
 
+def _run_staged(args):
+    """Default bilevel mode: two time-budgeted stages, each a subprocess so
+    (a) a hard driver timeout mid-stage-B cannot erase stage A's JSON line,
+    (b) each stage gets exclusive use of the single TPU chip, and (c) the
+    parent never initializes JAX. See the module docstring."""
+    import os
+    import subprocess
+
+    budget = float(os.environ.get("BENCH_BUDGET_S", "1000"))
+    t_start = time.time()
+    passthrough = [
+        "--resolution", str(args.resolution),
+        "--keep-ratio", str(args.keep_ratio),
+        "--steps", str(args.steps),
+        "--opt-precision", args.opt_precision,
+    ]
+    if args.batch_size:
+        passthrough += ["--batch-size", str(args.batch_size)]
+    if not args.remat:
+        passthrough += ["--no-remat"]
+    if args.remat_policy:
+        passthrough += ["--remat-policy", args.remat_policy]
+    # cold-cache heuristic: the 512px bilevel step executables are ~110MB
+    # persistent-cache entries (committed with the repo). If none is
+    # present, the compiles will be cold — have stage A overlap them in
+    # threads (~635s instead of ~930s). If entries exist, plain jit
+    # dispatch reads them in seconds (AOT precompile would instead re-pay
+    # the full compile: it bypasses persistent-cache reads).
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    try:
+        cold = not any(
+            e.name.startswith("jit_step") and e.stat().st_size > 50 * 1024 * 1024
+            for e in os.scandir(cache_dir)
+        )
+    except OSError:
+        cold = True
+    if cold:
+        passthrough += ["--parallel-precompile"]
+        print("# no big step executables in .jax_cache: enabling parallel "
+              "precompile for the cold path", file=sys.stderr, flush=True)
+
+    def stage(extra, timeout):
+        cmd = [sys.executable, os.path.abspath(__file__)] + passthrough + extra
+        try:  # stderr inherits: compile progress stays visible in the log
+            res = subprocess.run(cmd, stdout=subprocess.PIPE, timeout=timeout)
+        except subprocess.TimeoutExpired:
+            print(f"# stage {extra} timed out after {timeout:.0f}s",
+                  file=sys.stderr, flush=True)
+            return None
+        if res.returncode != 0:
+            print(f"# stage {extra} failed rc={res.returncode}",
+                  file=sys.stderr, flush=True)
+            return None
+        for line in reversed(res.stdout.decode().splitlines()):
+            line = line.strip()
+            if line.startswith("{"):
+                try:
+                    return json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+        return None
+
+    # Stage A: accum 1 — the round-2 driver-verified mode (~700s cold,
+    # ~3 min warm). Its JSON line prints the moment it lands.
+    out_a = stage(["--grad-accum", "1"], timeout=max(60.0, budget - 120.0))
+    if out_a is not None:
+        print(json.dumps(out_a), flush=True)
+    remaining = budget - (time.time() - t_start) - 60.0
+    if out_a is None:
+        # one retry of the cheap mode: stale remote allocations from a
+        # crashed attempt clear after ~1 min (the chip holds a dead
+        # client's buffers for a while)
+        if remaining > 180:
+            time.sleep(45)
+            out_a = stage(["--grad-accum", "1"],
+                          timeout=max(60.0, remaining - 75.0))
+            if out_a is not None:
+                print(json.dumps(out_a), flush=True)
+        if out_a is None:
+            raise SystemExit(1)
+        return  # the retry ate the budget: don't attempt stage B
+    best = out_a
+    if remaining > 400:
+        time.sleep(15)  # let the chip release stage A's allocations
+        out_b = stage(["--grad-accum", "2"], timeout=remaining - 30.0)
+        if out_b is not None and out_b.get("value", 0) > best.get("value", 0):
+            best = out_b
+        elif out_b is not None:
+            print(f"# stage B completed but not better "
+                  f"({out_b.get('value')} <= {best.get('value')})",
+                  file=sys.stderr)
+    else:
+        print(f"# skipping stage B: {remaining:.0f}s left of the "
+              f"{budget:.0f}s budget (cold cache)", file=sys.stderr)
+    # final line: the best result (the driver reads the last JSON line)
+    print(json.dumps(best), flush=True)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--smoke", action="store_true", help="tiny shapes (CPU sanity)")
@@ -931,8 +1119,8 @@ def main():
                         "per-dtype buffers and unpack inside the jitted step — "
                         "removes the ~9us/buffer per-dispatch bookkeeping "
                         "(~76ms/step at batch 8 x accum 2). Measured on v5e: "
-                        "36.6 samples/s, 46.4% MFU vs the tree boundary's "
-                        "39.9 / 50.6% — the unpack/repack HBM copies cost more "
+                        "36.6 samples/s, 46.4%% MFU vs the tree boundary's "
+                        "39.9 / 50.6%% — the unpack/repack HBM copies cost more "
                         "than the dispatch they save at this model size, so "
                         "the default is OFF (it wins only for step programs "
                         "that are dispatch-bound, e.g. much smaller models).")
@@ -954,14 +1142,28 @@ def main():
                         "Flux-dev: 19 — frozen bf16 exceeds one 16GB chip)")
     p.add_argument("--flux-single-layers", type=int, default=14,
                    help="--prune --model flux: single-stream blocks (full: 38)")
+    p.add_argument("--parallel-precompile", action=argparse.BooleanOptionalAction,
+                   default=False,
+                   help="AOT-compile the lower+upper steps in two threads "
+                        "before the timed run — cuts a COLD bilevel compile "
+                        "from ~930s to ~635s, but re-pays the full compile "
+                        "on a warm cache (AOT bypasses persistent-cache "
+                        "reads); the staged default enables it only when "
+                        ".jax_cache has no big step executables")
     p.add_argument("--pack-threshold", type=int, default=2 * 1024 * 1024,
                    help="only pack leaves up to this many bytes (larger ones "
                         "pass through as individual buffers); bounds the "
                         "unpack/repack HBM copies to ~0.3GB at the default")
     args = p.parse_args()
+    if (args.grad_accum is None and not args.smoke and not args.gen
+            and not args.prune and not args.lower_only):
+        # default bilevel mode: staged accum-1-then-accum-2 (module
+        # docstring). Runs in subprocesses; the parent stays JAX-free.
+        _run_staged(args)
+        return
     if args.grad_accum is None:
-        # bilevel training mode defaults to the reference's effective batch
-        # 16/chip (batch 8 x accum 2); gen/prune/lower-only stay at 1
+        # explicit modes: gen/prune/lower-only stay at 1; --smoke bilevel
+        # keeps the reference's effective batch 16 (batch x accum 2)
         args.grad_accum = 1 if (args.gen or args.prune or args.lower_only) else 2
     # production default: VAE posterior moments precomputed once per dataset
     # (identical training distribution; the encoder costs more FLOPs than the
@@ -991,10 +1193,10 @@ def main():
             "metric": f"{prefix}prune_train_samples_per_sec_per_chip",
             "value": round(float(value), 4),
             "unit": "samples/sec/chip",
-            # same estimated torch-DDP A100 denominator as the bilevel metric:
-            # the reference pruning step is teacher fwd + gated fwd + tiny bwd,
-            # roughly the lower-step cost class (BASELINE.md publishes nothing)
-            "vs_baseline": round(float(value) / EST_REFERENCE_A100_SAMPLES_PER_SEC, 4),
+            # per-model estimated torch-DDP A100 denominator (see
+            # EST_BASELINE_PRUNE): the SD pruning step is the lower-step cost
+            # class; SDXL/Flux steps are ~3x/~10x heavier per sample
+            "vs_baseline": round(float(value) / EST_BASELINE_PRUNE[args.model], 4),
         }
         if mfu is not None:
             out["mfu"] = round(float(mfu), 4)
