@@ -74,6 +74,9 @@ def test_flux_pruning_trainer_runs():
             np.isfinite(r["loss"]) for r in rows if "loss" in r
         )
         assert any("resource_ratio" in r for r in rows)
+        # flux validation losses (reference trainer.py:1093-1147 inherited)
+        val_rows = [r for r in rows if "val_diff_loss" in r]
+        assert val_rows and np.isfinite(val_rows[-1]["val_loss"])
         assert glob.glob(os.path.join(tmp, "t", "codebook_sim_*"))
         ratio_rows = [r for r in rows if any(
             k.startswith("expert_") and k.endswith("_resource_ratio") for k in r

@@ -226,12 +226,8 @@ class FluxPruningTrainer(PruningTrainer):
             out_pool.append(np.asarray(pool, np.float32))
         return np.concatenate(out_pe), np.concatenate(out_pool)
 
-    def init_datasets(self):
-        cfg = self.config
-        ds = get_dataset(cfg, "train")
-        self.dataset = ds
-        bs = int(cfg.get_path("data.dataloader.train_batch_size", 8))
-        rng = np.random.default_rng(self.seed)
+    def _make_flux_collate(self, ds, train: bool = True):
+        rng = np.random.default_rng(self.seed if train else self.seed + 1)
         fc, l_img, l_txt = self.flux_cfg, self.l_img, self.l_txt
         side = int(2 * np.sqrt(l_img))
 
@@ -251,8 +247,7 @@ class FluxPruningTrainer(PruningTrainer):
                     "mpnet_embeddings": rng.standard_normal((b, 768)).astype(np.float32),
                 }
 
-            self.train_loader = DataLoader(list(range(len(ds))), bs, collate, seed=self.seed)
-            return
+            return collate
 
         # real dataset: in-framework towers must be loadable
         if self.t5_params is None or self.text_params is None:
@@ -290,10 +285,33 @@ class FluxPruningTrainer(PruningTrainer):
                 "mpnet_embeddings": mpnet[list(indices)],
             }
 
+        return collate
+
+    def init_datasets(self):
+        cfg = self.config
+        ds = get_dataset(cfg, "train")
+        self.dataset = ds
+        bs = int(cfg.get_path("data.dataloader.train_batch_size", 8))
         self.train_loader = DataLoader(
-            list(range(len(ds))), bs, collate, seed=self.seed,
+            list(range(len(ds))), bs, self._make_flux_collate(ds, train=True),
+            seed=self.seed,
             num_shards=jax.process_count(), shard_index=jax.process_index(),
         )
+        # held-out split for _validate_losses (reference FluxPruner inherits
+        # UnetPruner's validation loaders)
+        try:
+            val_ds = get_dataset(cfg, "validation")
+        except Exception:
+            val_ds = None
+        self.val_dataset = val_ds
+        self.val_loader = None
+        if val_ds is not None and len(val_ds):
+            vbs = int(cfg.get_path("data.dataloader.validation_batch_size", bs))
+            self.val_loader = DataLoader(
+                list(range(len(val_ds))), vbs,
+                self._make_flux_collate(val_ds, train=False), seed=self.seed + 1,
+                num_shards=jax.process_count(), shard_index=jax.process_index(),
+            )
 
     def _encode_mpnet_prompts(self, captions):
         if self.mpnet_params is None:
@@ -329,10 +347,26 @@ class FluxPruningTrainer(PruningTrainer):
             grad_accum=self.grad_accum,
         )
 
+    def _make_eval_step(self):
+        from .steps import make_flux_pruner_eval_step
+
+        g = self.config.get_path
+        return make_flux_pruner_eval_step(
+            self.flux, self.hypernet, self.qcfg, self.layout, self.flux_cfg,
+            self.fm_sched, self.loss_cfg, self.l_img, self.l_txt,
+            weighting_scheme=g("model.prediction_model.weighting_scheme",
+                               "logit_normal"),
+            guidance_scale=g("model.prediction_model.guidance_scale"),
+        )
+
     def validate(self):
-        """Codebook similarity heatmap + per-expert hard resource ratios
-        (the Flux counterpart of UnetPruner's validation logging; resource
-        ratios come from the analytic flux_macs tables)."""
+        """Validation losses over the val split (reference FluxPruner inherits
+        UnetPruner.validate, trainer.py:1093-1147), then codebook similarity
+        heatmap + per-expert hard resource ratios (resource ratios from the
+        analytic flux_macs tables)."""
+        self._validate_losses()
+        if not self.tracker.primary_host:
+            return
         emb_gs = np.asarray(jax.device_get(self.qstate["embedding_gs"]))
         hard = (emb_gs >= 0.5).astype(np.float32)
         self._log_codebook_similarity(hard)

@@ -223,24 +223,20 @@ class PruningTrainer(FineTuneTrainer):
         """Mean val losses over (up to max_validation_batches of) the val
         split, logged as val_* (reference trainer.py:1136-1147 reduces the
         same way with accelerator.reduce(..., 'mean'))."""
-        if self.val_loader is None:
+        if getattr(self, "val_loader", None) is None:
             return
         if not hasattr(self, "_eval_step"):
-            from .steps import make_pruner_eval_step
-
-            self._eval_step = make_pruner_eval_step(
-                self.unet, self.hypernet, self.qcfg, self.vae, self.layout,
-                self.full_spec, self.sched, self.loss_cfg,
-                seq_kv=int(self.config.get_path("data.synthetic_seq_len", 77)),
-                pretrain=bool(self.config.get_path(
-                    "training.hypernet_pretraining", False)),
-                frozen_spec=getattr(self, "_frozen_spec", None),
-            )
+            self._eval_step = self._make_eval_step()
+        if self._eval_step is None:
+            return
         from ..parallel import shard_batch
 
         max_batches = int(
             self.config.get_path("training.max_validation_batches", 0) or 8
         )
+        frozen = getattr(self, "_frozen_packed", None)
+        if frozen is None:
+            frozen = self.frozen
         sums: Dict = {}
         n = 0
         for i, batch in enumerate(self.val_loader):
@@ -248,12 +244,14 @@ class PruningTrainer(FineTuneTrainer):
                 break
             batch = shard_batch(batch, self.mesh)
             m = self._eval_step(
-                self.trainable, self.qstate, self._frozen_packed, batch,
+                self.trainable, self.qstate, frozen, batch,
                 jax.random.PRNGKey(2000 + i),
             )
+            # families share the core losses; flux has no teacher distill
             for k in ("loss", "diff_loss", "distill_loss", "block_loss",
                       "contrastive_loss", "resource_loss", "resource_ratio"):
-                sums[k] = sums.get(k, 0.0) + float(m[k])
+                if k in m:
+                    sums[k] = sums.get(k, 0.0) + float(m[k])
             n += 1
         if n:
             logs = {f"val_{k}": v / n for k, v in sums.items()}
@@ -262,6 +260,20 @@ class PruningTrainer(FineTuneTrainer):
                 "validation | %s",
                 " ".join(f"{k}={v:.4f}" for k, v in sorted(logs.items())),
             )
+
+    def _make_eval_step(self):
+        """Family-specific eval-loss step; SDXL/Flux subclasses override
+        (their step functions carry different conditioning)."""
+        from .steps import make_pruner_eval_step
+
+        return make_pruner_eval_step(
+            self.unet, self.hypernet, self.qcfg, self.vae, self.layout,
+            self.full_spec, self.sched, self.loss_cfg,
+            seq_kv=int(self.config.get_path("data.synthetic_seq_len", 77)),
+            pretrain=bool(self.config.get_path(
+                "training.hypernet_pretraining", False)),
+            frozen_spec=getattr(self, "_frozen_spec", None),
+        )
 
     def log_samples(self):
         # image_logging_steps cadence (reference trainer.py:1375-1470)

@@ -128,6 +128,13 @@ class SDXLPruningTrainer(PruningTrainer):
             grad_accum=self.grad_accum,
         )
 
+    def _make_eval_step(self):
+        return make_sdxl_pruner_eval_step(
+            self.unet, self.hypernet, self.qcfg, self.vae, self.layout,
+            self.full_spec, self.sched, self.loss_cfg,
+            seq_kv=int(self.config.get_path("data.synthetic_seq_len", 77)),
+        )
+
     def _build_pipeline(self):
         """SDXL-aware PruningPipeline (dual towers feed encode; the
         added_cond rides through the denoise loop via sdxl_added_cond)."""
@@ -236,6 +243,85 @@ class SDXLPruningTrainer(PruningTrainer):
         return metrics
 
 
+def _sdxl_pruner_loss_fn(
+    unet, hypernet, qcfg, vae, layout, spec, sched, loss_cfg, seq_kv, macs_table
+):
+    """Shared SDXL pruning loss surface (train step differentiates it,
+    make_sdxl_pruner_eval_step evaluates it with training=False)."""
+
+    def loss_for(p, quant_state, frozen, batch, rng, training):
+        k_vae, k_fwd, k_q, k_gs = jax.random.split(rng, 4)
+        latents = _get_latents(vae, frozen["vae"], batch, k_vae)
+        noisy, timesteps, target = _forward_process(sched, loss_cfg, latents, k_fwd)
+        ctx = batch["prompt_embeds"]
+        added = {"text_embeds": batch["text_embeds"], "time_ids": batch["time_ids"]}
+        mpnet_emb = batch["mpnet_embeddings"]
+        bsz = latents.shape[0]
+
+        ones = layout.ones(bsz)
+        teacher_pred, teacher_acts = unet.apply(
+            {"params": frozen["unet"]}, noisy, timesteps, ctx, ones,
+            return_block_activations=True, added_cond=added,
+        )
+        teacher_pred = jax.lax.stop_gradient(teacher_pred)
+        teacher_acts = jax.lax.stop_gradient(teacher_acts)
+        full_cur = macs_lib.calc_macs(spec, ones, seq_kv, macs_table)["cur_prunable"][0]
+
+        arch_logits = hypernet.apply({"params": p["hypernet"]}, mpnet_emb)
+        zq, idx, new_qstate = qcfg(
+            k_q, p["quantizer"], quant_state, arch_logits, training=training
+        )
+        arch_gs = qcfg.gumbel_sigmoid_trick(k_gs, arch_logits)
+        arch_norm = qcfg.width_depth_normalize(quant_state, arch_gs)
+        c_loss, _ = contrastive_loss(mpnet_emb, arch_norm)
+        structure = layout.split(zq)
+        pred, acts = unet.apply(
+            {"params": frozen["unet"]}, noisy, timesteps, ctx, structure,
+            return_block_activations=True, added_cond=added,
+        )
+        d_loss = diffusion_loss(
+            pred, target, timesteps, sched.alphas_cumprod, loss_cfg.snr_gamma,
+            sched.prediction_type,
+        )
+        dist = distillation_loss(pred, teacher_pred)
+        blk = block_distillation_loss(acts, teacher_acts)
+        ratios = macs_lib.calc_macs(spec, structure, seq_kv, macs_table)[
+            "cur_prunable"] / full_cur
+        r_loss = resource_loss(ratios.mean(), loss_cfg.resource_target,
+                               loss_cfg.resource_type)
+        loss = (
+            loss_cfg.diffusion_weight * d_loss
+            + loss_cfg.resource_weight * r_loss
+            + loss_cfg.contrastive_weight * c_loss
+            + loss_cfg.distillation_weight * dist
+            + loss_cfg.block_weight * blk
+        )
+        metrics = {"loss": loss, "diff_loss": d_loss, "distill_loss": dist,
+                   "block_loss": blk, "contrastive_loss": c_loss,
+                   "resource_loss": r_loss, "resource_ratio": ratios.mean()}
+        return loss, (metrics, new_qstate)
+
+    return loss_for
+
+
+def make_sdxl_pruner_eval_step(
+    unet, hypernet, qcfg, vae, layout, spec, sched, loss_cfg, seq_kv: int = 77,
+):
+    """SDXL validation losses (reference SDXLPruner inherits
+    UnetPruner.validate, trainer.py:1093-1147)."""
+    macs_table = macs_lib.unet_macs(spec, seq_kv)
+    loss_for = _sdxl_pruner_loss_fn(
+        unet, hypernet, qcfg, vae, layout, spec, sched, loss_cfg, seq_kv, macs_table
+    )
+
+    @jax.jit
+    def eval_step(trainable, quant_state, frozen, batch, rng):
+        _, (metrics, _) = loss_for(trainable, quant_state, frozen, batch, rng, False)
+        return metrics
+
+    return eval_step
+
+
 def make_sdxl_pruner_step(
     unet, hypernet, qcfg, vae, layout, spec, sched, loss_cfg, tx,
     seq_kv: int = 77, grad_accum: int = 1,
@@ -246,64 +332,15 @@ def make_sdxl_pruner_step(
     ('text_embeds'/'time_ids') threaded through the gated U-Net as
     added_cond. Module-level so bench.py can drive it on synthetic shapes."""
     macs_table = macs_lib.unet_macs(spec, seq_kv)
+    loss_for = _sdxl_pruner_loss_fn(
+        unet, hypernet, qcfg, vae, layout, spec, sched, loss_cfg, seq_kv, macs_table
+    )
 
     def grad_fn(trainable, quant_state, frozen, batch, rng):
-            k_vae, k_fwd, k_q, k_gs = jax.random.split(rng, 4)
-            latents = _get_latents(vae, frozen["vae"], batch, k_vae)
-            noisy, timesteps, target = _forward_process(sched, loss_cfg, latents, k_fwd)
-            ctx = batch["prompt_embeds"]
-            added = {"text_embeds": batch["text_embeds"], "time_ids": batch["time_ids"]}
-            mpnet_emb = batch["mpnet_embeddings"]
-            bsz = latents.shape[0]
-
-            ones = layout.ones(bsz)
-            teacher_pred, teacher_acts = unet.apply(
-                {"params": frozen["unet"]}, noisy, timesteps, ctx, ones,
-                return_block_activations=True, added_cond=added,
-            )
-            teacher_pred = jax.lax.stop_gradient(teacher_pred)
-            teacher_acts = jax.lax.stop_gradient(teacher_acts)
-            full_cur = macs_lib.calc_macs(spec, ones, seq_kv, macs_table)["cur_prunable"][0]
-
-            def loss_fn(p):
-                arch_logits = hypernet.apply({"params": p["hypernet"]}, mpnet_emb)
-                zq, idx, new_qstate = qcfg(
-                    k_q, p["quantizer"], quant_state, arch_logits, training=True
-                )
-                arch_gs = qcfg.gumbel_sigmoid_trick(k_gs, arch_logits)
-                arch_norm = qcfg.width_depth_normalize(quant_state, arch_gs)
-                c_loss, _ = contrastive_loss(mpnet_emb, arch_norm)
-                structure = layout.split(zq)
-                pred, acts = unet.apply(
-                    {"params": frozen["unet"]}, noisy, timesteps, ctx, structure,
-                    return_block_activations=True, added_cond=added,
-                )
-                d_loss = diffusion_loss(
-                    pred, target, timesteps, sched.alphas_cumprod, loss_cfg.snr_gamma,
-                    sched.prediction_type,
-                )
-                dist = distillation_loss(pred, teacher_pred)
-                blk = block_distillation_loss(acts, teacher_acts)
-                ratios = macs_lib.calc_macs(spec, structure, seq_kv, macs_table)[
-                    "cur_prunable"] / full_cur
-                r_loss = resource_loss(ratios.mean(), loss_cfg.resource_target,
-                                       loss_cfg.resource_type)
-                loss = (
-                    loss_cfg.diffusion_weight * d_loss
-                    + loss_cfg.resource_weight * r_loss
-                    + loss_cfg.contrastive_weight * c_loss
-                    + loss_cfg.distillation_weight * dist
-                    + loss_cfg.block_weight * blk
-                )
-                metrics = {"loss": loss, "diff_loss": d_loss, "distill_loss": dist,
-                           "block_loss": blk, "contrastive_loss": c_loss,
-                           "resource_loss": r_loss, "resource_ratio": ratios.mean()}
-                return loss, (metrics, new_qstate)
-
-            (loss, (metrics, new_qstate)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True
-            )(trainable)
-            return loss, grads, metrics, new_qstate
+        (loss, (metrics, new_qstate)), grads = jax.value_and_grad(
+            loss_for, has_aux=True
+        )(trainable, quant_state, frozen, batch, rng, True)
+        return loss, grads, metrics, new_qstate
 
     @partial(jax.jit, donate_argnums=(0, 1))
     def step(trainable, opt_state, quant_state, frozen, batch, rng):

@@ -540,6 +540,106 @@ def compute_loss_weighting_for_sd3(weighting_scheme: str, sigmas):
     return jnp.ones_like(sigmas)
 
 
+def _flux_pruner_loss_fn(
+    flux, hypernet, quantizer_cfg, layout, flux_cfg, fm_sched, loss_cfg,
+    l_img, l_txt, weighting_scheme, guidance_scale, pretrain, macs_table,
+):
+    """Shared Flux pruning loss surface (train + validation; the eval path
+    passes training=False so the quantizer hard-assigns from embedding_gs)."""
+    from ..utils import flux_macs as fm
+
+    full_cur = fm.flux_calc_macs(
+        flux_cfg, layout, layout.ones(1), l_img, l_txt, macs_table
+    )["cur_prunable"][0]
+
+    def loss_for(p, quant_state, frozen, batch, rng, training):
+        k_noise, k_u, k_q, k_gs = jax.random.split(rng, 4)
+        latents = batch["latents"]  # packed [B, l_img, C]
+        b = latents.shape[0]
+        noise = jax.random.normal(k_noise, latents.shape, latents.dtype)
+        u = compute_density_for_timestep_sampling(k_u, weighting_scheme, b)
+        indices = jnp.clip(
+            (u * fm_sched.num_train_timesteps).astype(jnp.int32), 0,
+            fm_sched.num_train_timesteps - 1,
+        )
+        sigmas = fm_sched.sigmas[indices]
+        noisy = fm_sched.scale_noise(latents, noise, sigmas)
+        timesteps = fm_sched.timesteps[indices] / 1000.0
+        guidance = (
+            jnp.full((b,), guidance_scale) if guidance_scale is not None else None
+        )
+        mpnet_emb = batch["mpnet_embeddings"]
+
+        arch_logits = hypernet.apply({"params": p["hypernet"]}, mpnet_emb)
+        zq, idx, new_qstate = quantizer_cfg(
+            k_q, p["quantizer"], quant_state, arch_logits, training=training
+        )
+        arch_gs = quantizer_cfg.gumbel_sigmoid_trick(k_gs, arch_logits)
+        arch_norm = quantizer_cfg.width_depth_normalize(quant_state, arch_gs)
+        c_loss, _ = contrastive_loss(mpnet_emb, arch_norm)
+
+        structure = layout.split(arch_gs if pretrain else zq)
+        pred = flux.apply(
+            {"params": frozen["flux"]}, noisy, batch["prompt_embeds"],
+            batch["pooled_prompt_embeds"], timesteps, batch["img_ids"],
+            batch["txt_ids"], guidance, structure,
+        )
+        target = noise - latents
+        weighting = compute_loss_weighting_for_sd3(weighting_scheme, sigmas)[:, None, None]
+        fm_loss = jnp.mean(
+            (weighting * (pred.astype(jnp.float32) - target.astype(jnp.float32)) ** 2)
+            .reshape(b, -1).mean(axis=1)
+        )
+
+        macs_dict = fm.flux_calc_macs(flux_cfg, layout, structure, l_img, l_txt, macs_table)
+        ratios = macs_dict["cur_prunable"] / full_cur
+        r_loss = resource_loss(ratios.mean(), loss_cfg.resource_target,
+                               loss_cfg.resource_type)
+        loss = (
+            loss_cfg.diffusion_weight * fm_loss
+            + loss_cfg.resource_weight * r_loss
+            + loss_cfg.contrastive_weight * c_loss
+        )
+        metrics = {"loss": loss, "diff_loss": fm_loss, "contrastive_loss": c_loss,
+                   "resource_loss": r_loss, "resource_ratio": ratios.mean(),
+                   "expert_indices": idx}
+        return loss, (metrics, new_qstate)
+
+    return loss_for
+
+
+def make_flux_pruner_eval_step(
+    flux,
+    hypernet,
+    quantizer_cfg,
+    layout: GateLayout,
+    flux_cfg,
+    fm_sched,
+    loss_cfg: LossConfig,
+    l_img: int,
+    l_txt: int,
+    weighting_scheme: str = "logit_normal",
+    guidance_scale: Optional[float] = None,
+    pretrain: bool = False,
+):
+    """Flux validation losses (reference FluxPruner inherits
+    UnetPruner.validate, trainer.py:1093-1147)."""
+    from ..utils import flux_macs as fm
+
+    macs_table = fm.flux_macs(flux_cfg, l_img, l_txt)
+    loss_for = _flux_pruner_loss_fn(
+        flux, hypernet, quantizer_cfg, layout, flux_cfg, fm_sched, loss_cfg,
+        l_img, l_txt, weighting_scheme, guidance_scale, pretrain, macs_table,
+    )
+
+    @jax.jit
+    def eval_step(trainable, quant_state, frozen, batch, rng):
+        _, (metrics, _) = loss_for(trainable, quant_state, frozen, batch, rng, False)
+        return metrics
+
+    return eval_step
+
+
 def make_flux_pruner_step(
     flux,
     hypernet,
@@ -562,67 +662,15 @@ def make_flux_pruner_step(
     from ..utils import flux_macs as fm
 
     macs_table = fm.flux_macs(flux_cfg, l_img, l_txt)
-    full_cur = fm.flux_calc_macs(
-        flux_cfg, layout, layout.ones(1), l_img, l_txt, macs_table
-    )["cur_prunable"][0]
+    loss_for = _flux_pruner_loss_fn(
+        flux, hypernet, quantizer_cfg, layout, flux_cfg, fm_sched, loss_cfg,
+        l_img, l_txt, weighting_scheme, guidance_scale, pretrain, macs_table,
+    )
 
     def grad_fn(trainable, quant_state, frozen, batch, rng):
-        k_noise, k_u, k_q, k_gs = jax.random.split(rng, 4)
-        latents = batch["latents"]  # packed [B, l_img, C]
-        b = latents.shape[0]
-        noise = jax.random.normal(k_noise, latents.shape, latents.dtype)
-        u = compute_density_for_timestep_sampling(k_u, weighting_scheme, b)
-        indices = jnp.clip(
-            (u * fm_sched.num_train_timesteps).astype(jnp.int32), 0,
-            fm_sched.num_train_timesteps - 1,
-        )
-        sigmas = fm_sched.sigmas[indices]
-        noisy = fm_sched.scale_noise(latents, noise, sigmas)
-        timesteps = fm_sched.timesteps[indices] / 1000.0
-        guidance = (
-            jnp.full((b,), guidance_scale) if guidance_scale is not None else None
-        )
-        mpnet_emb = batch["mpnet_embeddings"]
-
-        def loss_fn(p):
-            arch_logits = hypernet.apply({"params": p["hypernet"]}, mpnet_emb)
-            zq, idx, new_qstate = quantizer_cfg(
-                k_q, p["quantizer"], quant_state, arch_logits, training=True
-            )
-            arch_gs = quantizer_cfg.gumbel_sigmoid_trick(k_gs, arch_logits)
-            arch_norm = quantizer_cfg.width_depth_normalize(quant_state, arch_gs)
-            c_loss, _ = contrastive_loss(mpnet_emb, arch_norm)
-
-            structure = layout.split(arch_gs if pretrain else zq)
-            pred = flux.apply(
-                {"params": frozen["flux"]}, noisy, batch["prompt_embeds"],
-                batch["pooled_prompt_embeds"], timesteps, batch["img_ids"],
-                batch["txt_ids"], guidance, structure,
-            )
-            target = noise - latents
-            weighting = compute_loss_weighting_for_sd3(weighting_scheme, sigmas)[:, None, None]
-            fm_loss = jnp.mean(
-                (weighting * (pred.astype(jnp.float32) - target.astype(jnp.float32)) ** 2)
-                .reshape(b, -1).mean(axis=1)
-            )
-
-            macs_dict = fm.flux_calc_macs(flux_cfg, layout, structure, l_img, l_txt, macs_table)
-            ratios = macs_dict["cur_prunable"] / full_cur
-            r_loss = resource_loss(ratios.mean(), loss_cfg.resource_target,
-                                   loss_cfg.resource_type)
-            loss = (
-                loss_cfg.diffusion_weight * fm_loss
-                + loss_cfg.resource_weight * r_loss
-                + loss_cfg.contrastive_weight * c_loss
-            )
-            metrics = {"loss": loss, "diff_loss": fm_loss, "contrastive_loss": c_loss,
-                       "resource_loss": r_loss, "resource_ratio": ratios.mean(),
-                       "expert_indices": idx}
-            return loss, (metrics, new_qstate)
-
-        (loss, (metrics, new_qstate)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            trainable
-        )
+        (loss, (metrics, new_qstate)), grads = jax.value_and_grad(
+            loss_for, has_aux=True
+        )(trainable, quant_state, frozen, batch, rng, True)
         return loss, grads, metrics, new_qstate
 
     @partial(jax.jit, donate_argnums=(0, 1))
