@@ -24,8 +24,15 @@ from unlearn_ft_tpu.training.steps import (
 def setup():
     cfg = UNetConfig(
         sample_size=8,
-        block_out_channels=(16, 32),
-        layers_per_block=2,
+        # equal widths + layers_per_block=1 halve every step program here
+        # while keeping the depth gate on each down block's (only) resnet
+        # channel-preserving (build_unet_spec rejects a depth gate on a
+        # channel-changing resnet — there is no identity path to lerp to);
+        # these tests exercise step mechanics (sharding, donation,
+        # accumulation, cadence), not multi-layer gate plumbing
+        # (tests/test_unet.py keeps layers_per_block=2 + distinct widths)
+        block_out_channels=(16, 16),
+        layers_per_block=1,
         num_attention_heads=(2, 4),
         cross_attention_dim=16,
         norm_num_groups=4,

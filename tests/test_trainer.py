@@ -10,10 +10,15 @@ from unlearn_ft_tpu.utils.config import load_config
 CFG_PATH = os.path.join(os.path.dirname(__file__), "..", "configs", "tests", "tiny_synthetic.yaml")
 
 
-def _config(tmp, **overrides):
+def _config(tmp, small=False, **overrides):
     cfg = load_config(CFG_PATH)
     cfg.training.logging.logging_dir = tmp
     cfg.merge({"seed": 43, "wandb_run_name": "t", "pruning_type": "multi-expert"})
+    if small:
+        # halve the U-Net for mechanism-equivalence tests (each pays every
+        # compile TWICE — tree vs packed, fused vs sequential); multi-layer
+        # gate-plumbing coverage keeps layers_per_block=2 elsewhere
+        cfg.model.prediction_model.unet_config.layers_per_block = 1
     cfg.merge(overrides)
     return cfg
 
@@ -187,7 +192,7 @@ def test_bilevel_trainer_fused_cadence():
     from unlearn_ft_tpu.training.bilevel import BilevelFineTuneTrainer
 
     with tempfile.TemporaryDirectory() as tmp:
-        cfg = _config(tmp)
+        cfg = _config(tmp, small=True)
         cfg.training.max_train_steps = 5  # 2 full windows + 1 buffered step
         cfg.training.checkpoint_steps = 5
         cfg.merge({"training": {"fused_cadence": True}})
@@ -208,7 +213,7 @@ def test_bilevel_fused_cadence_survives_unaligned_checkpoints():
     from unlearn_ft_tpu.training.bilevel import BilevelFineTuneTrainer
 
     with tempfile.TemporaryDirectory() as tmp:
-        cfg = _config(tmp)
+        cfg = _config(tmp, small=True)
         cfg.training.max_train_steps = 6
         cfg.training.checkpoint_steps = 3  # misaligned with freq=2
         cfg.merge({"training": {"fused_cadence": True, "upper_step_freq": 2}})
@@ -241,7 +246,7 @@ def test_finetune_trainer_gradient_accumulation():
     from unlearn_ft_tpu.training.finetune import FineTuneTrainer
 
     with tempfile.TemporaryDirectory() as tmp:
-        cfg = _config(tmp)
+        cfg = _config(tmp, small=True)
         cfg.merge({"training": {"gradient_accumulation_steps": 2}})
         t = FineTuneTrainer(cfg)
         assert t.grad_accum == 2
@@ -266,7 +271,7 @@ def test_bilevel_fused_cadence_with_gradient_accumulation():
     from unlearn_ft_tpu.training.bilevel import BilevelFineTuneTrainer
 
     with tempfile.TemporaryDirectory() as tmp:
-        cfg = _config(tmp)
+        cfg = _config(tmp, small=True)
         cfg.training.max_train_steps = 4
         cfg.merge({"training": {
             "fused_cadence": True, "upper_step_freq": 2,
@@ -392,7 +397,7 @@ def test_bilevel_trainer_packed_dispatch_matches_tree():
     rows = {}
     for mode in ("tree", "packed"):
         with tempfile.TemporaryDirectory() as tmp:
-            cfg = _config(tmp)
+            cfg = _config(tmp, small=True)
             cfg.training.max_train_steps = 4
             if mode == "packed":
                 cfg.merge({"training": {"packed_dispatch": True,
@@ -416,7 +421,7 @@ def test_packed_dispatch_checkpoint_resume():
     from unlearn_ft_tpu.training.bilevel import BilevelFineTuneTrainer
 
     with tempfile.TemporaryDirectory() as tmp:
-        cfg = _config(tmp)
+        cfg = _config(tmp, small=True)
         cfg.training.max_train_steps = 2
         cfg.training.checkpoint_steps = 2
         cfg.merge({"training": {"packed_dispatch": True, "pack_threshold": 4096}})
@@ -462,7 +467,7 @@ def test_pruning_trainer_packed_dispatch_matches_tree():
     rows = {}
     for mode in ("tree", "packed"):
         with tempfile.TemporaryDirectory() as tmp:
-            cfg = _config(tmp)
+            cfg = _config(tmp, small=True)
             cfg.training.max_train_steps = 2
             if mode == "packed":
                 cfg.merge({"training": {"packed_dispatch": True,

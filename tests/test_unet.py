@@ -135,28 +135,52 @@ def _zero_dead_norm2(spec, params, widths):
     return params
 
 
+@pytest.fixture(scope="module")
+def no_remat_grads(setup):
+    """The un-rematted loss/grads, computed ONCE and shared by every
+    remat-policy parametrization (the reference compile is the expensive
+    half of each comparison)."""
+    _, spec, _, model, params, sample, ctx, t = setup
+
+    def f(p):
+        out = model.apply({"params": p}, sample, t, ctx)
+        return jnp.mean(out.astype(jnp.float32) ** 2)
+
+    return jax.jit(jax.value_and_grad(f))(params)
+
+
 @pytest.mark.parametrize("policy", [None, "dots", "hires"])
-def test_remat_policies_match_no_remat_gradients(setup, policy):
+def test_remat_policies_match_no_remat_gradients(setup, no_remat_grads, policy):
     """remat only changes WHAT is saved for backward, never the math: loss
     and gradients must match the un-rematted model bitwise-closely under
     every policy (full replay / dots_saveable / hires-only)."""
     _, spec, _, model, params, sample, ctx, t = setup
     rem = UNet2DConditionModel(spec, remat=True, remat_policy=policy)
 
-    def loss_fn(m):
-        def f(p):
-            out = m.apply({"params": p}, sample, t, ctx)
-            return jnp.mean(out.astype(jnp.float32) ** 2)
+    def f(p):
+        out = rem.apply({"params": p}, sample, t, ctx)
+        return jnp.mean(out.astype(jnp.float32) ** 2)
 
-        return jax.jit(jax.value_and_grad(f))(params)
-
-    base_l, base_g = loss_fn(model)
-    rem_l, rem_g = loss_fn(rem)
+    rem_l, rem_g = jax.jit(jax.value_and_grad(f))(params)
+    base_l, base_g = no_remat_grads
     np.testing.assert_allclose(float(rem_l), float(base_l), rtol=1e-6)
     jax.tree.map(
         lambda a, b: np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-5),
         base_g, rem_g,
     )
+
+
+def test_depth_gate_on_channel_changing_resnet_raises(setup):
+    """layers_per_block=1 puts the HalfGated depth gate on each down block's
+    only resnet; where that resnet changes channels the depth lerp has no
+    identity path — build_unet_spec must reject it up front instead of
+    letting the forward die on a broadcast error."""
+    cfg, *_ = setup
+    from dataclasses import replace as dc_replace
+
+    bad = dc_replace(cfg, layers_per_block=1)  # 16->32 down resnet gets the gate
+    with pytest.raises(ValueError, match="channel-changing"):
+        build_unet_spec(bad)
 
 
 def test_remat_policy_unknown_raises(setup):

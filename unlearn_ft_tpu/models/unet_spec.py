@@ -175,6 +175,19 @@ def _gating_mode(block_type: str) -> str:
 def _make_resnet(in_ch, out_ch, groups, eps, mode, is_last, kind, skip_ch) -> ResnetSpec:
     has_w = mode in ("half", "full")
     has_d = (mode == "full") or (mode == "half" and is_last)
+    if has_d and kind == "down" and in_ch != out_ch:
+        # the depth lerp (1-g)*x + g*f(x) needs an identity path; a
+        # channel-changing resnet has none (the reference's gated registry
+        # only ever depth-gates channel-preserving positions — SD-2.1 has
+        # layers_per_block=2, so the last resnet of every down block maps
+        # out_ch->out_ch; up blocks always end channel-preserving since
+        # they run layers_per_block+1 resnets)
+        raise ValueError(
+            f"depth gate on a channel-changing down-block resnet "
+            f"({in_ch}->{out_ch}): the depth lerp has no identity path. "
+            f"Use layers_per_block>=2, equal block_out_channels, or an "
+            f"ungated block type for this block."
+        )
     return ResnetSpec(
         in_channels=in_ch,
         out_channels=out_ch,
