@@ -16,6 +16,14 @@ lower-step-only number.
 The driver reads the LAST JSON line printed, so the default bilevel mode is
 staged to survive a hard timeout from a cold jit cache:
 
+  stage F: serialized-executable fast path (utils/aot.py + .jax_exec/,
+           regenerate with ``--save-exec``): ONE child process loads the
+           pre-compiled accum-1 and accum-2 step executables (~0.02s each —
+           no tracing, no compiling; tracing alone costs ~220s/step on this
+           host) and measures both modes, printing each JSON line directly
+           to the shared stdout the moment it lands. Attempted only when
+           the artifacts' source fingerprint matches (checked JAX-free by
+           the parent); skipped otherwise.
   stage A: batch 8 x accum 1 (the round-2 driver-verified mode, ~565s cold
            compile) — measured and its JSON line printed IMMEDIATELY;
   stage B: batch 8 x accum 2 (the reference's effective batch 16/chip,
@@ -28,6 +36,13 @@ Either way the process exits 0 with at least one valid JSON line well
 inside the budget (env BENCH_BUDGET_S, default 1000s — round 2's full cold
 run finished in ~800s under the driver). ``--grad-accum N`` skips staging
 and runs one mode directly.
+
+Wall-clock caveat (measured r4): the experimental axon platform has a
+highly variable per-process first-dispatch stall (7s to 440s for the same
+trivial warm program in back-to-back fresh processes) — the staging exists
+to make the CONTROLLABLE costs (trace/compile) near-zero and to keep every
+already-printed line safe from a later kill; the stall itself is tunnel-
+side and irreducible from here.
 
 ``vs_baseline`` is measured against an estimated 10 samples/sec/GPU for the
 reference's torch/accelerate loop on A100 (the repo publishes no numbers —
@@ -52,6 +67,89 @@ EST_REFERENCE_A100_SAMPLES_PER_SEC = 10.0
 #   flux — a ~4.3B-param MMDiT fwd+bwd at 1024+512 tokens is ~10x the SD
 #          pruning step's FLOPs -> 1.0
 EST_BASELINE_PRUNE = {"sd": 10.0, "sdxl": 10.0 / 3.0, "flux": 1.0}
+
+_ROOT = None  # set lazily (os import stays inside functions for the parent)
+
+
+def _root():
+    global _ROOT
+    if _ROOT is None:
+        import os
+
+        _ROOT = os.path.dirname(os.path.abspath(__file__))
+    return _ROOT
+
+
+def _exec_dir():
+    import os
+
+    return os.path.join(_root(), ".jax_exec")
+
+
+def _exec_name(args, bs, kind):
+    """Identity of a serialized step executable: everything program-shaping
+    that ``build``/``run`` read from args is in the filename; everything
+    read from source is in the fingerprint sidecar."""
+    ga = max(1, int(getattr(args, "grad_accum", 1) or 1))
+    pol = args.remat_policy or "none"
+    pl = 0 if getattr(args, "in_loop_vae", False) else 1
+    return (
+        f"bilevel-{kind}-b{bs}-ga{ga}-r{args.resolution}-k{args.keep_ratio}"
+        f"-{args.opt_precision}-remat{int(args.remat)}-{pol}-pl{pl}.exec"
+    )
+
+
+def _load_aot_module():
+    """Import utils/aot.py by file path: the staged parent must stay
+    JAX-free, and importing the package would pull jax in via __init__."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "_unlearn_ft_tpu_aot", os.path.join(_root(), "unlearn_ft_tpu", "utils", "aot.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _exec_fingerprint(aot_mod=None):
+    """Source fingerprint guarding the serialized executables: the package
+    (models/ops/steps/optim — everything the step traces through) plus the
+    source of build()/run() (batch construction, dtypes, optimizer wiring).
+    Doc-only edits elsewhere in bench.py do NOT invalidate artifacts."""
+    import inspect
+    import os
+
+    if aot_mod is None:
+        aot_mod = _load_aot_module()
+    return aot_mod.source_fingerprint(
+        os.path.join(_root(), "unlearn_ft_tpu"),
+        extra=inspect.getsource(build) + inspect.getsource(run),
+    )
+
+
+def _exec_artifacts_fresh(args, ga):
+    """JAX-free freshness probe for one accum mode's lower+upper pair
+    (sidecar fingerprint only; device/jax-version guards run in the child)."""
+    import copy
+    import json as _json
+    import os
+
+    aot = _load_aot_module()
+    fp = _exec_fingerprint(aot)
+    a = copy.copy(args)
+    a.grad_accum = ga
+    bs = args.batch_size or 8
+    for kind in ("lower", "upper"):
+        side = os.path.join(_exec_dir(), _exec_name(a, bs, kind)) + ".json"
+        try:
+            with open(side) as fh:
+                if _json.load(fh).get("fingerprint") != fp:
+                    return False
+        except (OSError, ValueError):
+            return False
+    return True
 
 
 def build(args):
@@ -245,6 +343,15 @@ def run(args):
     import jax
     import jax.numpy as jnp
 
+    if getattr(args, "exec_mode", "auto") == "load":
+        # fail fast (before param construction + transfer) when the
+        # serialized executables can't be used — the staged parent then
+        # falls back to the jit stages with the budget intact
+        if not _exec_artifacts_fresh(args, max(1, int(args.grad_accum or 1))):
+            print("# --exec load: no fresh serialized executables for this "
+                  "configuration (regenerate with --save-exec)", file=sys.stderr)
+            raise SystemExit(3)
+
     (step, upper_step, cadence_step), (tx, upper_tx), student_params, teacher_params, \
         vae_params, resolution, seq, xdim, flops_per_sample, packed_specs = build(args)
 
@@ -387,7 +494,54 @@ def run(args):
             if not args.lower_only:
                 upper_batch = dict(batch)
                 upper_batch["empty_prompt_embeds"] = jnp.zeros_like(batch["prompt_embeds"])
-            if not args.lower_only and getattr(args, "parallel_precompile", False):
+            # serialized-executable fast path: load (or --save-exec: AOT
+            # compile+persist) the step executables — removes the ~220s/step
+            # trace+lower AND the compile from this process (utils/aot.py)
+            used_exec = False
+            exec_ok = (
+                getattr(args, "exec_mode", "auto") != "off"
+                and not args.smoke
+                and not args.lower_only
+                and not getattr(args, "fused_cadence", False)
+                and packed_specs is None
+            )
+            if exec_ok:
+                import os
+
+                from unlearn_ft_tpu.utils.aot import compile_and_save, load_executable
+
+                fp = _exec_fingerprint()
+                p_lower = os.path.join(_exec_dir(), _exec_name(args, bs, "lower"))
+                p_upper = os.path.join(_exec_dir(), _exec_name(args, bs, "upper"))
+                if getattr(args, "save_exec", False):
+                    print(f"# AOT-compiling + serializing step executables "
+                          f"(ga={ga}, b={bs})...", file=sys.stderr, flush=True)
+                    tw = time.perf_counter()
+                    step = compile_and_save(
+                        step, p_lower, params, opt_state, frozen, batch,
+                        jax.random.PRNGKey(0), fingerprint=fp)
+                    upper_step = compile_and_save(
+                        upper_step, p_upper, params, upper_opt_state, frozen,
+                        upper_batch, jax.random.PRNGKey(0), fingerprint=fp)
+                    print(f"# serialized in {time.perf_counter()-tw:.1f}s "
+                          f"-> {_exec_dir()}", file=sys.stderr, flush=True)
+                    used_exec = True
+                else:
+                    tw = time.perf_counter()
+                    ex_l = load_executable(p_lower, fingerprint=fp, verbose=True)
+                    ex_u = load_executable(p_upper, fingerprint=fp, verbose=True)
+                    if ex_l is not None and ex_u is not None:
+                        step, upper_step = ex_l, ex_u
+                        used_exec = True
+                        print(f"# loaded serialized step executables in "
+                              f"{time.perf_counter()-tw:.2f}s (no trace, no "
+                              f"compile)", file=sys.stderr, flush=True)
+                    elif getattr(args, "exec_mode", "auto") == "load":
+                        print("# --exec load: executables missing or stale; "
+                              "regenerate with --save-exec", file=sys.stderr)
+                        raise SystemExit(3)
+            if (not args.lower_only and not used_exec
+                    and getattr(args, "parallel_precompile", False)):
                 # overlap the two cold compiles: XLA compilation releases
                 # the GIL, so AOT-compiling lower+upper in two threads costs
                 # max(644s, 285s) instead of their sum from a cold cache
@@ -416,14 +570,15 @@ def run(args):
                     print(f"# parallel precompile failed "
                           f"({type(e).__name__}: {str(e)[:120]}); compiling "
                           f"sequentially", file=sys.stderr, flush=True)
-            print(f"# compiling lower step at batch {bs}...", file=sys.stderr, flush=True)
+            verb = "warming up" if used_exec else "compiling"
+            print(f"# {verb} lower step at batch {bs}...", file=sys.stderr, flush=True)
             tw = time.perf_counter()
             params, opt_state, m = step(params, opt_state, frozen, batch, jax.random.PRNGKey(0))
             warm_loss = float(m["loss"])
             print(f"# compiled in {time.perf_counter()-tw:.1f}s (loss {warm_loss:.4f})",
                   file=sys.stderr, flush=True)
             if not args.lower_only:
-                print(f"# compiling upper step at batch {bs}...", file=sys.stderr, flush=True)
+                print(f"# {verb} upper step at batch {bs}...", file=sys.stderr, flush=True)
                 tw = time.perf_counter()
                 params, upper_opt_state, um = upper_step(
                     params, upper_opt_state, frozen, upper_batch, jax.random.PRNGKey(0)
@@ -1014,6 +1169,34 @@ def _run_staged(args):
         print("# no big step executables in .jax_cache: enabling parallel "
               "precompile for the cold path", file=sys.stderr, flush=True)
 
+    # Stage F: serialized-executable fast path. One child measures BOTH accum
+    # modes with zero trace/compile cost, writing its JSON lines DIRECTLY to
+    # the shared stdout — a driver kill at any later point cannot erase a
+    # line that already landed. Attempted only when the artifacts' source
+    # fingerprint is fresh (checked here without importing jax).
+    try:
+        fast_ok = any(_exec_artifacts_fresh(args, ga) for ga in (1, 2))
+    except Exception as e:  # never let the probe kill the bench
+        print(f"# exec freshness probe failed ({type(e).__name__}: "
+              f"{str(e)[:120]}); skipping stage F", file=sys.stderr, flush=True)
+        fast_ok = False
+    if fast_ok:
+        cmd = [sys.executable, os.path.abspath(__file__)] + passthrough + \
+            ["--exec", "load"]
+        try:
+            res = subprocess.run(cmd, timeout=max(120.0, budget - 240.0))
+            if res.returncode == 0:
+                return  # lines already on stdout; best was printed last
+            print(f"# stage F failed rc={res.returncode}; falling back to "
+                  f"jit stages", file=sys.stderr, flush=True)
+        except subprocess.TimeoutExpired:
+            print("# stage F timed out; any lines it printed still stand — "
+                  "falling back to jit stages", file=sys.stderr, flush=True)
+        time.sleep(15)  # let the chip release the fast child's allocations
+    else:
+        print("# no fresh serialized executables (.jax_exec); using jit "
+              "stages", file=sys.stderr, flush=True)
+
     def stage(extra, timeout):
         cmd = [sys.executable, os.path.abspath(__file__)] + passthrough + extra
         try:  # stderr inherits: compile progress stays visible in the log
@@ -1036,8 +1219,10 @@ def _run_staged(args):
         return None
 
     # Stage A: accum 1 — the round-2 driver-verified mode (~700s cold,
-    # ~3 min warm). Its JSON line prints the moment it lands.
-    out_a = stage(["--grad-accum", "1"], timeout=max(60.0, budget - 120.0))
+    # ~3 min warm). Its JSON line prints the moment it lands. Timeout is
+    # whatever is left of the budget (stage F may have consumed some).
+    out_a = stage(["--grad-accum", "1"],
+                  timeout=max(60.0, budget - (time.time() - t_start) - 120.0))
     if out_a is not None:
         print(json.dumps(out_a), flush=True)
     remaining = budget - (time.time() - t_start) - 60.0
@@ -1154,13 +1339,33 @@ def main():
                    help="only pack leaves up to this many bytes (larger ones "
                         "pass through as individual buffers); bounds the "
                         "unpack/repack HBM copies to ~0.3GB at the default")
+    p.add_argument("--exec", dest="exec_mode", default="auto",
+                   choices=["auto", "load", "off"],
+                   help="serialized-executable fast path (.jax_exec/, "
+                        "utils/aot.py): auto = use if fresh, else jit; "
+                        "load = require (exit 3 if missing/stale — used by "
+                        "the staged parent to fail fast); off = never. "
+                        "Loading skips tracing AND compiling (~0.02s vs "
+                        "~220s trace + compile per step on this host). "
+                        "Without --grad-accum, --exec load measures BOTH "
+                        "accum modes in one process (one attach stall).")
+    p.add_argument("--save-exec", action="store_true",
+                   help="AOT-compile the bilevel step pair at this "
+                        "configuration and serialize it to .jax_exec/ "
+                        "(consults the persistent compile cache, so a warm "
+                        "regeneration costs one trace+lower per step). Run "
+                        "with --grad-accum 1 and 2, then commit .jax_exec/.")
     args = p.parse_args()
     if (args.grad_accum is None and not args.smoke and not args.gen
-            and not args.prune and not args.lower_only):
-        # default bilevel mode: staged accum-1-then-accum-2 (module
+            and not args.prune and not args.lower_only
+            and args.exec_mode != "load"):
+        # default bilevel mode: staged fast-path/accum-1/accum-2 (module
         # docstring). Runs in subprocesses; the parent stays JAX-free.
         _run_staged(args)
         return
+    exec_both = (args.exec_mode == "load" and args.grad_accum is None
+                 and not args.smoke and not args.gen and not args.prune
+                 and not args.lower_only)
     if args.grad_accum is None:
         # explicit modes: gen/prune/lower-only stay at 1; --smoke bilevel
         # keeps the reference's effective batch 16 (batch x accum 2)
@@ -1216,18 +1421,56 @@ def main():
         print(json.dumps(out))
         return
 
+    def _bilevel_line(value, mfu):
+        out = {
+            "metric": "bilevel_train_samples_per_sec_per_chip",
+            "value": round(float(value), 4),
+            "unit": "samples/sec/chip",
+            "vs_baseline": round(float(value) / EST_REFERENCE_A100_SAMPLES_PER_SEC, 4),
+        }
+        if mfu is not None:
+            # analytic-MACs-derived model FLOPs utilization vs 197 TFLOP/s
+            # bf16 peak (v5e); remat recompute not counted (algorithmic MFU)
+            out["mfu"] = round(float(mfu), 4)
+        return out
+
+    if exec_both:
+        # serialized-executable fast child: measure accum-1 then accum-2 in
+        # ONE process (one axon attach stall), printing each line directly
+        # as it lands; re-print the best last (the driver reads the last
+        # line). Fail fast per mode via run()'s --exec load precheck.
+        import copy
+        import gc
+
+        modes = [ga for ga in (1, 2) if _exec_artifacts_fresh(args, ga)]
+        if not modes:
+            print("# --exec load: no fresh serialized executables "
+                  "(regenerate with --save-exec)", file=sys.stderr)
+            raise SystemExit(3)
+        best = None
+        for ga in modes:
+            a = copy.copy(args)
+            a.grad_accum = ga
+            try:
+                value, mfu = run(a)
+            except SystemExit:
+                raise
+            except Exception as e:
+                print(f"# exec mode ga={ga} failed: {type(e).__name__}: "
+                      f"{str(e)[:200]}", file=sys.stderr, flush=True)
+                continue
+            line = _bilevel_line(value, mfu)
+            print(json.dumps(line), flush=True)
+            if best is None or line["value"] > best["value"]:
+                best = line
+            gc.collect()
+        if best is None:
+            raise SystemExit(1)
+        print(json.dumps(best), flush=True)
+        return
+
     value, mfu = run(args)
-    out = {
-        "metric": "bilevel_train_samples_per_sec_per_chip",
-        "value": round(float(value), 4),
-        "unit": "samples/sec/chip",
-        "vs_baseline": round(float(value) / EST_REFERENCE_A100_SAMPLES_PER_SEC, 4),
-    }
-    if mfu is not None:
-        # analytic-MACs-derived model FLOPs utilization vs 197 TFLOP/s
-        # bf16 peak (v5e); remat recompute not counted (algorithmic MFU)
-        out["mfu"] = round(float(mfu), 4)
-    print(json.dumps(out))
+    print(json.dumps(_bilevel_line(value, mfu)))
 
 
 if __name__ == "__main__":
