@@ -17,20 +17,24 @@ The driver reads the LAST JSON line printed, so the default bilevel mode is
 staged to survive a hard timeout from a cold jit cache:
 
   stage F: serialized-executable fast path (utils/aot.py + .jax_exec/,
-           regenerate with ``--save-exec``): ONE child process loads the
-           pre-compiled accum-1 and accum-2 step executables (~0.02s each —
-           no tracing, no compiling; tracing alone costs ~220s/step on this
-           host) and measures both modes, printing each JSON line directly
-           to the shared stdout the moment it lands. Attempted only when
-           the artifacts' source fingerprint matches (checked JAX-free by
-           the parent); skipped otherwise.
-  stage A: batch 8 x accum 1 (the round-2 driver-verified mode, ~565s cold
-           compile) — measured and its JSON line printed IMMEDIATELY;
-  stage B: batch 8 x accum 2 (the reference's effective batch 16/chip,
-           faster once compiled but with a much longer cold compile) —
-           attempted only if enough of the assumed time budget remains, in
-           a subprocess with its own timeout; an improved JSON line is
-           printed only if it completes and beats stage A.
+           regenerate with ``--save-exec``): ONE child loads the
+           pre-compiled accum-1 and accum-2 step executables (~80s for all
+           four; no tracing, no compiling) and measures both modes,
+           printing each JSON line directly to the shared stdout the
+           moment it lands. Attempted only when the artifacts' source
+           fingerprint matches (checked JAX-free by the parent). Its real
+           cost is the axon PER-PROCESS first-dispatch stall (7-440s
+           normally, worse on degraded nights) — which every strategy
+           pays, while stage F uniquely skips trace+compile on top.
+  stage A: batch 8 x accum 1 (the round-2 driver-verified mode) — fallback
+           when stage F fails fast; its JSON line prints IMMEDIATELY. Warm
+           .jax_cache (fingerprint stamp matches AND the big step entries
+           exist): ~3 min. Cold: --parallel-precompile, ~810s end-to-end
+           (r2/r4, healthy service) with nearly the whole budget.
+  stage B: batch 8 x accum 2 (the reference's effective batch 16/chip) —
+           attempted only when cache-warm and enough budget remains; an
+           improved JSON line is printed only if it completes and beats
+           stage A.
 
 Either way the process exits 0 with at least one valid JSON line well
 inside the budget (env BENCH_BUDGET_S, default 1000s — round 2's full cold
@@ -150,6 +154,70 @@ def _exec_artifacts_fresh(args, ga):
         except (OSError, ValueError):
             return False
     return True
+
+
+def _stamp_path():
+    import os
+
+    return os.path.join(_root(), ".jax_cache", "FINGERPRINT.json")
+
+
+def _cache_modes_warm():
+    """ga modes whose jit-path compiles are known to be in .jax_cache for the
+    CURRENT sources. A big jit_step entry alone proves some program was
+    compiled here, not this one — round 4's stale-cache stage-A timeout came
+    from trusting entry existence after a package edit; the jit child now
+    stamps the cache with the source fingerprint when its compiles land
+    (see _stamp_cache)."""
+    import json as _json
+    import os
+
+    try:
+        with open(_stamp_path()) as fh:
+            stamp = _json.load(fh)
+        if stamp.get("fingerprint") != _exec_fingerprint():
+            return set()
+        # cross-check the stamp against reality: the big (>50MB) step
+        # executables must actually be present. A --save-exec run stamps its
+        # modes but populates only ~2MB side entries (measured r4: AOT
+        # .compile() does NOT write the big program into the persistent
+        # cache — only real jit dispatch does), so without this check a
+        # regen-only cache would claim warmth it doesn't have.
+        big = any(
+            e.name.startswith("jit_step") and e.stat().st_size > 50 * 1024 * 1024
+            for e in os.scandir(os.path.dirname(_stamp_path()))
+        )
+        if not big:
+            return set()
+        return set(int(g) for g in stamp.get("modes", []))
+    except (OSError, ValueError):
+        return set()
+
+
+def _stamp_cache(ga):
+    """Record (atomically) that the current sources' ga-mode step pair was
+    just compiled in this process with the persistent cache enabled."""
+    import json as _json
+    import os
+
+    path = _stamp_path()
+    fp = _exec_fingerprint()
+    modes = set()
+    try:
+        with open(path) as fh:
+            stamp = _json.load(fh)
+        if stamp.get("fingerprint") == fp:
+            modes = set(int(g) for g in stamp.get("modes", []))
+    except (OSError, ValueError):
+        pass
+    modes.add(int(ga))
+    try:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path + ".tmp", "w") as fh:
+            _json.dump({"fingerprint": fp, "modes": sorted(modes)}, fh)
+        os.replace(path + ".tmp", path)
+    except OSError:
+        pass
 
 
 def build(args):
@@ -508,7 +576,7 @@ def run(args):
             if exec_ok:
                 import os
 
-                from unlearn_ft_tpu.utils.aot import compile_and_save, load_executable
+                from unlearn_ft_tpu.utils.aot import load_executable, save_executable
 
                 fp = _exec_fingerprint()
                 p_lower = os.path.join(_exec_dir(), _exec_name(args, bs, "lower"))
@@ -517,12 +585,23 @@ def run(args):
                     print(f"# AOT-compiling + serializing step executables "
                           f"(ga={ga}, b={bs})...", file=sys.stderr, flush=True)
                     tw = time.perf_counter()
-                    step = compile_and_save(
-                        step, p_lower, params, opt_state, frozen, batch,
-                        jax.random.PRNGKey(0), fingerprint=fp)
-                    upper_step = compile_and_save(
-                        upper_step, p_upper, params, upper_opt_state, frozen,
-                        upper_batch, jax.random.PRNGKey(0), fingerprint=fp)
+                    # trace/lower sequentially (Python-bound, holds the GIL),
+                    # then compile both in two threads: XLA compilation
+                    # releases the GIL, so the pair costs max instead of sum
+                    # (same overlap as --parallel-precompile, ~635s vs ~930s
+                    # cold); .compile() also populates the persistent cache
+                    import concurrent.futures as cf
+
+                    lw = step.lower(params, opt_state, frozen, batch,
+                                    jax.random.PRNGKey(0))
+                    uw = upper_step.lower(params, upper_opt_state, frozen,
+                                          upper_batch, jax.random.PRNGKey(0))
+                    with cf.ThreadPoolExecutor(2) as ex:
+                        step, upper_step = list(
+                            ex.map(lambda l: l.compile(), (lw, uw)))
+                    del lw, uw
+                    save_executable(p_lower, step, fingerprint=fp)
+                    save_executable(p_upper, upper_step, fingerprint=fp)
                     print(f"# serialized in {time.perf_counter()-tw:.1f}s "
                           f"-> {_exec_dir()}", file=sys.stderr, flush=True)
                     used_exec = True
@@ -586,6 +665,13 @@ def run(args):
                 print(f"# compiled in {time.perf_counter()-tw:.1f}s "
                       f"(upper loss {float(um['upper_loss']):.4f})",
                       file=sys.stderr, flush=True)
+            if (not args.smoke and not args.lower_only and packed_specs is None
+                    and (not used_exec or getattr(args, "save_exec", False))):
+                # the compiles above just populated .jax_cache for this mode
+                # (the exec-load path compiles nothing and is excluded):
+                # stamp it so the staged parent trusts the cache only for
+                # the exact current sources (see _cache_modes_warm)
+                _stamp_cache(ga)
             n_steps = args.steps
             freq = 10  # reference training.upper_step_freq
             t0 = time.perf_counter()
@@ -1150,30 +1236,44 @@ def _run_staged(args):
         passthrough += ["--no-remat"]
     if args.remat_policy:
         passthrough += ["--remat-policy", args.remat_policy]
-    # cold-cache heuristic: the 512px bilevel step executables are ~110MB
-    # persistent-cache entries (committed with the repo). If none is
-    # present, the compiles will be cold — have stage A overlap them in
-    # threads (~635s instead of ~930s). If entries exist, plain jit
-    # dispatch reads them in seconds (AOT precompile would instead re-pay
-    # the full compile: it bypasses persistent-cache reads).
-    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    # per-mode warm/cold decision via the source-fingerprint stamp the jit
+    # child writes into .jax_cache when its compiles land: a big jit_step
+    # entry alone proves SOME program was compiled here, not THIS one —
+    # round 4's stale-cache stage-A timeout (880s inside one sequential
+    # cold compile, rc=1, zero JSON lines) came from trusting entry
+    # existence after a package edit. Cold modes get --parallel-precompile
+    # (~635s overlapped vs ~930s sequential); warm modes read the cache in
+    # seconds through plain jit (AOT precompile would re-pay the compile).
     try:
-        cold = not any(
-            e.name.startswith("jit_step") and e.stat().st_size > 50 * 1024 * 1024
-            for e in os.scandir(cache_dir)
-        )
-    except OSError:
-        cold = True
-    if cold:
-        passthrough += ["--parallel-precompile"]
-        print("# no big step executables in .jax_cache: enabling parallel "
-              "precompile for the cold path", file=sys.stderr, flush=True)
+        warm_modes = _cache_modes_warm()
+    except Exception as e:  # never let the probe kill the bench
+        print(f"# cache stamp probe failed ({type(e).__name__}: "
+              f"{str(e)[:120]}); assuming cold", file=sys.stderr, flush=True)
+        warm_modes = set()
+    print(f"# .jax_cache fingerprint-warm accum modes: "
+          f"{sorted(warm_modes) or 'none'}", file=sys.stderr, flush=True)
 
-    # Stage F: serialized-executable fast path. One child measures BOTH accum
-    # modes with zero trace/compile cost, writing its JSON lines DIRECTLY to
-    # the shared stdout — a driver kill at any later point cannot erase a
-    # line that already landed. Attempted only when the artifacts' source
-    # fingerprint is fresh (checked here without importing jax).
+    def _stage_extra(ga):
+        extra = ["--grad-accum", str(ga)]
+        if ga not in warm_modes:
+            extra += ["--parallel-precompile"]
+        return extra
+
+    # Stage F: serialized-executable fast path. One child measures BOTH
+    # accum modes with zero trace/compile cost, writing its JSON lines
+    # DIRECTLY to the shared stdout — a driver kill at any later point
+    # cannot erase a line that already landed. Attempted only when the
+    # artifacts' source fingerprint is fresh (checked JAX-free here).
+    #
+    # Cost anatomy (measured r4): transfer ~20-60s + deserialize/load
+    # ~75-81s + the axon PER-PROCESS first-dispatch stall + measurement.
+    # The stall is the variable part (7-440s normally; 1163s on one
+    # degraded night) and is paid ONCE per process, not per executable —
+    # the second loaded executable's first call measured 0.2s. Every
+    # strategy pays that same stall before its first step (the jit stages
+    # pay it PLUS trace+compile), so stage F gets nearly the whole budget;
+    # the jit stages are the fallback only for FAST failures (stale
+    # artifacts rc=3, OOM) where budget remains.
     try:
         fast_ok = any(_exec_artifacts_fresh(args, ga) for ga in (1, 2))
     except Exception as e:  # never let the probe kill the bench
@@ -1184,7 +1284,8 @@ def _run_staged(args):
         cmd = [sys.executable, os.path.abspath(__file__)] + passthrough + \
             ["--exec", "load"]
         try:
-            res = subprocess.run(cmd, timeout=max(120.0, budget - 240.0))
+            res = subprocess.run(
+                cmd, timeout=max(120.0, budget - (time.time() - t_start) - 90.0))
             if res.returncode == 0:
                 return  # lines already on stdout; best was printed last
             print(f"# stage F failed rc={res.returncode}; falling back to "
@@ -1221,8 +1322,13 @@ def _run_staged(args):
     # Stage A: accum 1 — the round-2 driver-verified mode (~700s cold,
     # ~3 min warm). Its JSON line prints the moment it lands. Timeout is
     # whatever is left of the budget (stage F may have consumed some).
-    out_a = stage(["--grad-accum", "1"],
-                  timeout=max(60.0, budget - (time.time() - t_start) - 120.0))
+    # budget split: when ga1 is cache-warm, reserve time for a retry and
+    # stage B; when cold, the parallel-precompile path needs ~810s end-to-end
+    # (r2/r4 measured) — give it everything but a small slack, and don't
+    # plan on stage B (a second cold compile can't fit the same budget).
+    reserve_a = 120.0 if 1 in warm_modes else 45.0
+    out_a = stage(_stage_extra(1),
+                  timeout=max(60.0, budget - (time.time() - t_start) - reserve_a))
     if out_a is not None:
         print(json.dumps(out_a), flush=True)
     remaining = budget - (time.time() - t_start) - 60.0
@@ -1232,7 +1338,7 @@ def _run_staged(args):
         # client's buffers for a while)
         if remaining > 180:
             time.sleep(45)
-            out_a = stage(["--grad-accum", "1"],
+            out_a = stage(_stage_extra(1),
                           timeout=max(60.0, remaining - 75.0))
             if out_a is not None:
                 print(json.dumps(out_a), flush=True)
@@ -1240,9 +1346,9 @@ def _run_staged(args):
             raise SystemExit(1)
         return  # the retry ate the budget: don't attempt stage B
     best = out_a
-    if remaining > 400:
+    if remaining > 400 and 2 in warm_modes:
         time.sleep(15)  # let the chip release stage A's allocations
-        out_b = stage(["--grad-accum", "2"], timeout=remaining - 30.0)
+        out_b = stage(_stage_extra(2), timeout=remaining - 30.0)
         if out_b is not None and out_b.get("value", 0) > best.get("value", 0):
             best = out_b
         elif out_b is not None:
@@ -1333,8 +1439,8 @@ def main():
                         "before the timed run — cuts a COLD bilevel compile "
                         "from ~930s to ~635s, but re-pays the full compile "
                         "on a warm cache (AOT bypasses persistent-cache "
-                        "reads); the staged default enables it only when "
-                        ".jax_cache has no big step executables")
+                        "reads); the staged default enables it per accum "
+                        "mode when .jax_cache's fingerprint stamp is stale")
     p.add_argument("--pack-threshold", type=int, default=2 * 1024 * 1024,
                    help="only pack leaves up to this many bytes (larger ones "
                         "pass through as individual buffers); bounds the "

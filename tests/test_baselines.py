@@ -107,7 +107,9 @@ def test_uce_edit_covers_all_transformer_layers():
     train_erase.py:191-210) — round-1 only touched transformer_blocks_0."""
     cfg = UNetConfig(
         sample_size=4,
-        block_out_channels=(16, 32),
+        # equal widths: layers_per_block=1 would otherwise put a depth gate
+        # on a channel-changing down resnet, which build_unet_spec rejects
+        block_out_channels=(16, 16),
         layers_per_block=1,
         transformer_layers_per_block=(1, 2),
         num_attention_heads=(2, 4),

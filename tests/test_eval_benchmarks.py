@@ -47,7 +47,7 @@ def eval_env(tmp_path_factory):
 
     cfg = UNetConfig(
         sample_size=8,
-        block_out_channels=(16, 32),
+        block_out_channels=(16, 16),
         layers_per_block=1,
         num_attention_heads=(2, 4),
         cross_attention_dim=32,

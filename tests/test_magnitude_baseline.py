@@ -22,7 +22,7 @@ from unlearn_ft_tpu.models import (
 
 CFG = UNetConfig(
     sample_size=8,
-    block_out_channels=(16, 32),
+    block_out_channels=(16, 16),
     layers_per_block=1,
     num_attention_heads=(2, 4),
     cross_attention_dim=16,
