@@ -1284,8 +1284,10 @@ def _run_staged(args):
         cmd = [sys.executable, os.path.abspath(__file__)] + passthrough + \
             ["--exec", "load"]
         try:
+            # only a thin reserve: if stage F times out it is almost always
+            # the first-dispatch stall, and the jit fallback would stall too
             res = subprocess.run(
-                cmd, timeout=max(120.0, budget - (time.time() - t_start) - 90.0))
+                cmd, timeout=max(120.0, budget - (time.time() - t_start) - 30.0))
             if res.returncode == 0:
                 return  # lines already on stdout; best was printed last
             print(f"# stage F failed rc={res.returncode}; falling back to "
@@ -1548,7 +1550,9 @@ def main():
         import copy
         import gc
 
-        modes = [ga for ga in (1, 2) if _exec_artifacts_fresh(args, ga)]
+        # accum 2 (the headline 39.9) first: if the process is killed after
+        # one mode, the better line is already banked on stdout
+        modes = [ga for ga in (2, 1) if _exec_artifacts_fresh(args, ga)]
         if not modes:
             print("# --exec load: no fresh serialized executables "
                   "(regenerate with --save-exec)", file=sys.stderr)
