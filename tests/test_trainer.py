@@ -17,8 +17,13 @@ def _config(tmp, small=False, **overrides):
     if small:
         # halve the U-Net for mechanism-equivalence tests (each pays every
         # compile TWICE — tree vs packed, fused vs sequential); multi-layer
-        # gate-plumbing coverage keeps layers_per_block=2 elsewhere
+        # gate-plumbing coverage keeps layers_per_block=2 elsewhere.
+        # Equal block_out_channels keep every depth-gated resnet
+        # channel-preserving, which the unet_spec validator requires at
+        # layers_per_block=1 (the depth lerp needs an identity path).
         cfg.model.prediction_model.unet_config.layers_per_block = 1
+        cfg.model.prediction_model.unet_config.block_out_channels = [16, 16]
+        cfg.model.prediction_model.unet_config.num_attention_heads = [2, 2]
     cfg.merge(overrides)
     return cfg
 
@@ -429,7 +434,7 @@ def test_packed_dispatch_checkpoint_resume():
         t.train()
         assert t.ckpt.latest_step() == 2
 
-        cfg2 = _config(tmp)
+        cfg2 = _config(tmp, small=True)
         cfg2.training.max_train_steps = 3
         cfg2.training.logging.resume_from_checkpoint = "latest"
         cfg2.merge({"training": {"packed_dispatch": True, "pack_threshold": 4096}})
