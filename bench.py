@@ -117,18 +117,34 @@ def _load_aot_module():
     return mod
 
 
+# Modules the serialized bilevel lower/upper steps actually trace through.
+# Narrowed (round 5) from "every .py under unlearn_ft_tpu/" so that edits to
+# scripts, pipelines, data loaders, converters, trainers, or eval code do NOT
+# invalidate 1.1GB of committed TPU executables — only step-graph-shaping
+# sources do. Keep this list in sync with bench.build's imports (and their
+# transitive jitted deps): a module missing here that DOES shape the step
+# would let stale executables load silently.
+_STEP_GRAPH_ROOTS = (
+    "models", "ops", "schedulers", "losses", "parallel",
+    "training/steps.py", "training/optim.py",
+    "utils/arch.py", "utils/estimation.py", "utils/packing.py", "utils/snr.py",
+)
+
+
 def _exec_fingerprint(aot_mod=None):
-    """Source fingerprint guarding the serialized executables: the package
-    (models/ops/steps/optim — everything the step traces through) plus the
-    source of build()/run() (batch construction, dtypes, optimizer wiring).
-    Doc-only edits elsewhere in bench.py do NOT invalidate artifacts."""
+    """Source fingerprint guarding the serialized executables: the step-graph
+    modules (_STEP_GRAPH_ROOTS — everything the bilevel step traces through)
+    plus the source of build()/run() (batch construction, dtypes, optimizer
+    wiring). Doc edits, eval/script/pipeline/trainer changes, and anything
+    else outside the step graph do NOT invalidate artifacts."""
     import inspect
     import os
 
     if aot_mod is None:
         aot_mod = _load_aot_module()
+    pkg = os.path.join(_root(), "unlearn_ft_tpu")
     return aot_mod.source_fingerprint(
-        os.path.join(_root(), "unlearn_ft_tpu"),
+        *[os.path.join(pkg, r) for r in _STEP_GRAPH_ROOTS],
         extra=inspect.getsource(build) + inspect.getsource(run),
     )
 
