@@ -152,3 +152,52 @@ def test_flux_shard_frozen_matches_replicated():
                 rows = [json.loads(l) for l in f]
             losses[shard] = [r["loss"] for r in rows if "loss" in r]
     np.testing.assert_allclose(losses[True], losses[False], rtol=2e-5, atol=2e-6)
+
+
+def test_flux_pruner_loads_local_hf_transformer_dir():
+    """A local HF diffusers Flux layout (transformer/config.json +
+    diffusion_pytorch_model.safetensors) is consumed end-to-end: config comes
+    from the dir, weights flow through convert_flux instead of random init
+    (reference from_pretrained contract, trainer.py:1604-1729)."""
+    import json
+
+    import jax
+
+    from unlearn_ft_tpu.models.flux import FluxConfig
+    from unlearn_ft_tpu.training.flux_pruner import FluxPruningTrainer
+
+    from torch_mirror import synth_flux_state_dict
+
+    cfg_dict = dict(
+        patch_size=1, in_channels=8, num_layers=2, num_single_layers=2,
+        attention_head_dim=8, num_attention_heads=2, joint_attention_dim=16,
+        pooled_projection_dim=12, guidance_embeds=True, axes_dims_rope=[2, 4, 2],
+    )
+    sd = synth_flux_state_dict(
+        FluxConfig(**{k: tuple(v) if isinstance(v, list) else v
+                      for k, v in cfg_dict.items()}),
+        seed=3,
+    )
+    with tempfile.TemporaryDirectory() as root, tempfile.TemporaryDirectory() as tmp:
+        tdir = os.path.join(root, "transformer")
+        os.makedirs(tdir)
+        with open(os.path.join(tdir, "config.json"), "w") as f:
+            json.dump(cfg_dict, f)
+        from safetensors.numpy import save_file
+
+        save_file({k: np.asarray(v) for k, v in sd.items()},
+                  os.path.join(tdir, "diffusion_pytorch_model.safetensors"))
+
+        cfg = _flux_config(tmp)
+        # only the gate width stays a yaml override; arch comes from the dir
+        cfg.model.prediction_model.flux_config = {"ff_gate_width": 4}
+        cfg.merge({"pretrained_model_name_or_path": root})
+        t = FluxPruningTrainer(cfg)
+        assert t.flux_cfg.num_layers == 2 and t.flux_cfg.guidance_embeds
+        # loaded, not random: x_embedder kernel matches the converted torch
+        # weight (torch Linear [out,in] -> flax kernel [in,out])
+        got = np.asarray(
+            jax.tree.leaves({"k": t.frozen["flux"]["x_embedder"]["kernel"]})[0]
+        )
+        np.testing.assert_allclose(got, np.asarray(sd["x_embedder.weight"]).T,
+                                   atol=1e-6)

@@ -166,3 +166,63 @@ def test_vae_decoder_matches_torch_mirror(vae_pair):
     vae = AutoencoderKL(cfg, dtype=jnp.float32)
     got = vae.apply({"params": params}, jnp.asarray(z), method=vae.decode)
     np.testing.assert_allclose(np.asarray(got), want, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Flux
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("guidance_embeds", [False, True])
+def test_flux_matches_torch_mirror(guidance_embeds):
+    """convert_flux + the Flax MMDiT forward vs the independent torch mirror
+    (diffusers FluxTransformer2DModel semantics; reference loads real weights
+    through this naming at pdm/training/trainer.py:1604-1729). Covers joint +
+    single blocks, RoPE over (t,y,x) axes, AdaLN-Zero chunk order, RMS q/k
+    norms, and the guidance embedder (Flux-dev)."""
+    from unlearn_ft_tpu.models.convert import convert_flux
+    from unlearn_ft_tpu.models.flux import (
+        FluxConfig,
+        GatedFluxTransformer2DModel,
+        make_image_ids,
+    )
+
+    from torch_mirror import synth_flux_state_dict, torch_flux_forward
+
+    cfg = FluxConfig(
+        patch_size=1, in_channels=8, num_layers=2, num_single_layers=2,
+        attention_head_dim=8, num_attention_heads=3, joint_attention_dim=24,
+        pooled_projection_dim=12, axes_dims_rope=(2, 2, 4), ff_gate_width=4,
+        guidance_embeds=guidance_embeds,
+    )
+    sd = synth_flux_state_dict(cfg, seed=7)
+    params = convert_flux(sd, cfg)
+
+    rng = np.random.default_rng(11)
+    b, l_txt, hh, ww = 2, 5, 8, 8
+    l_img = (hh // 2) * (ww // 2)
+    hidden = rng.standard_normal((b, l_img, cfg.in_channels)).astype(np.float32)
+    enc = rng.standard_normal((b, l_txt, cfg.joint_attention_dim)).astype(np.float32)
+    pooled = rng.standard_normal((b, cfg.pooled_projection_dim)).astype(np.float32)
+    t = np.array([0.25, 0.9], np.float32)
+    guidance = np.array([3.5, 3.5], np.float32) if guidance_embeds else None
+    img_ids = make_image_ids(hh, ww, b)
+    txt_ids = np.zeros((b, l_txt, 3), np.float32)
+
+    model = GatedFluxTransformer2DModel(cfg)
+    out_j = model.apply(
+        {"params": params}, jnp.asarray(hidden), jnp.asarray(enc),
+        jnp.asarray(pooled), jnp.asarray(t), jnp.asarray(img_ids),
+        jnp.asarray(txt_ids),
+        jnp.asarray(guidance) if guidance is not None else None,
+    )
+
+    with torch.no_grad():
+        out_t = torch_flux_forward(
+            sd, cfg, torch.from_numpy(hidden), torch.from_numpy(enc),
+            torch.from_numpy(pooled), torch.from_numpy(t),
+            torch.from_numpy(img_ids), torch.from_numpy(txt_ids),
+            torch.from_numpy(guidance) if guidance is not None else None,
+        )
+    np.testing.assert_allclose(
+        np.asarray(out_j), out_t.numpy(), atol=1e-4, rtol=1e-4
+    )

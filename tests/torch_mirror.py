@@ -394,3 +394,196 @@ def torch_vae_decode(sd, cfg, z, scaling_factor=None, shift_factor=None):
             h = _cv(sd, f"decoder.up_blocks.{i}.upsamplers.0.conv", h)
     h = F.silu(_gn(sd, "decoder.conv_norm_out", h, g, 1e-6))
     return _cv(sd, "decoder.conv_out", h)
+
+
+# ---------------------------------------------------------------------------
+# Flux transformer (MMDiT) — diffusers FluxTransformer2DModel semantics
+# (reference pdm/models/transformers/transformer_flux.py:22-451 forward,
+#  loaded via from_pretrained at pdm/training/trainer.py:1604-1729)
+# ---------------------------------------------------------------------------
+
+def synth_flux_state_dict(cfg, seed=0):
+    """Random HF-named FluxTransformer2DModel state dict for a FluxConfig."""
+    s = _Synth(seed)
+    inner = cfg.num_attention_heads * cfg.attention_head_dim
+    mlp = int(inner * cfg.mlp_ratio)
+    head_dim = cfg.attention_head_dim
+
+    def rms(p, d):
+        s.sd[p + ".weight"] = (
+            1.0 + s.rng.standard_normal(d) * s.scale
+        ).astype(np.float32)
+
+    s.linear("x_embedder", inner, cfg.in_channels)
+    s.linear("context_embedder", inner, cfg.joint_attention_dim)
+    s.linear("time_text_embed.timestep_embedder.linear_1", inner, 256)
+    s.linear("time_text_embed.timestep_embedder.linear_2", inner, inner)
+    s.linear("time_text_embed.text_embedder.linear_1", inner, cfg.pooled_projection_dim)
+    s.linear("time_text_embed.text_embedder.linear_2", inner, inner)
+    if cfg.guidance_embeds:
+        s.linear("time_text_embed.guidance_embedder.linear_1", inner, 256)
+        s.linear("time_text_embed.guidance_embedder.linear_2", inner, inner)
+    for i in range(cfg.num_layers):
+        p = f"transformer_blocks.{i}"
+        s.linear(p + ".norm1.linear", 6 * inner, inner)
+        s.linear(p + ".norm1_context.linear", 6 * inner, inner)
+        for n in ("to_q", "to_k", "to_v", "add_q_proj", "add_k_proj", "add_v_proj"):
+            s.linear(f"{p}.attn.{n}", inner, inner)
+        for n in ("norm_q", "norm_k", "norm_added_q", "norm_added_k"):
+            rms(f"{p}.attn.{n}", head_dim)
+        s.linear(p + ".attn.to_out.0", inner, inner)
+        s.linear(p + ".attn.to_add_out", inner, inner)
+        s.linear(p + ".ff.net.0.proj", mlp, inner)
+        s.linear(p + ".ff.net.2", inner, mlp)
+        s.linear(p + ".ff_context.net.0.proj", mlp, inner)
+        s.linear(p + ".ff_context.net.2", inner, mlp)
+    for i in range(cfg.num_single_layers):
+        p = f"single_transformer_blocks.{i}"
+        s.linear(p + ".norm.linear", 3 * inner, inner)
+        s.linear(p + ".proj_mlp", mlp, inner)
+        for n in ("to_q", "to_k", "to_v"):
+            s.linear(f"{p}.attn.{n}", inner, inner)
+        rms(p + ".attn.norm_q", head_dim)
+        rms(p + ".attn.norm_k", head_dim)
+        s.linear(p + ".proj_out", inner, inner + mlp)
+    s.linear("norm_out.linear", 2 * inner, inner)
+    s.linear("proj_out", cfg.patch_size * cfg.patch_size * cfg.in_channels, inner)
+    return s.sd
+
+
+def _flux_rope(ids, axes_dims, theta=10000.0):
+    """diffusers FluxPosEmbed / get_1d_rotary_pos_embed(use_real=True,
+    repeat_interleave_real=True): per-axis cos/sin repeated-interleaved to
+    full dim, concatenated over axes. ids [B, L, n_axes] ->
+    (cos, sin) each [B, L, sum(dims)]."""
+    cos_parts, sin_parts = [], []
+    for i, dim in enumerate(axes_dims):
+        pos = ids[..., i].float()
+        freqs = 1.0 / (theta ** (torch.arange(0, dim, 2, dtype=torch.float32) / dim))
+        angles = pos[..., None] * freqs[None, None, :]
+        cos_parts.append(torch.repeat_interleave(torch.cos(angles), 2, dim=-1))
+        sin_parts.append(torch.repeat_interleave(torch.sin(angles), 2, dim=-1))
+    return torch.cat(cos_parts, -1), torch.cat(sin_parts, -1)
+
+
+def _flux_apply_rope(x, cos, sin):
+    """diffusers apply_rotary_emb(use_real=True, use_real_unbind_dim=-1):
+    x [B, H, L, D], cos/sin [B, L, D] interleave-repeated."""
+    x_real = x[..., 0::2]
+    x_imag = x[..., 1::2]
+    x_rot = torch.stack([-x_imag, x_real], dim=-1).reshape(x.shape)
+    return x * cos[:, None] + x_rot * sin[:, None]
+
+
+def _flux_rmsnorm(sd, p, x, eps=1e-6):
+    var = x.float().pow(2).mean(-1, keepdim=True)
+    return x * torch.rsqrt(var + eps) * _t(sd, p + ".weight")
+
+
+def _flux_lnz(x):
+    return F.layer_norm(x, x.shape[-1:], eps=1e-6)
+
+
+def _flux_sdpa(sd, p, q_src, kv_ctx, rope, heads, head_dim):
+    """Joint dual-stream attention: q/k/v from image stream, add_*_proj from
+    text stream, text-first concat, RoPE over the joint sequence, SDPA."""
+    b, li, _ = q_src.shape
+    lt = kv_ctx.shape[1]
+
+    def split_heads(t):
+        return t.view(b, -1, heads, head_dim).transpose(1, 2)
+
+    q = _flux_rmsnorm(sd, p + ".norm_q", split_heads(_lin(sd, p + ".to_q", q_src)))
+    k = _flux_rmsnorm(sd, p + ".norm_k", split_heads(_lin(sd, p + ".to_k", q_src)))
+    v = split_heads(_lin(sd, p + ".to_v", q_src))
+    cq = _flux_rmsnorm(sd, p + ".norm_added_q",
+                       split_heads(_lin(sd, p + ".add_q_proj", kv_ctx)))
+    ck = _flux_rmsnorm(sd, p + ".norm_added_k",
+                       split_heads(_lin(sd, p + ".add_k_proj", kv_ctx)))
+    cv = split_heads(_lin(sd, p + ".add_v_proj", kv_ctx))
+    q = torch.cat([cq, q], dim=2)
+    k = torch.cat([ck, k], dim=2)
+    v = torch.cat([cv, v], dim=2)
+    cos, sin = rope
+    q = _flux_apply_rope(q, cos, sin)
+    k = _flux_apply_rope(k, cos, sin)
+    out = F.scaled_dot_product_attention(q, k, v)
+    out = out.transpose(1, 2).reshape(b, lt + li, heads * head_dim)
+    return out[:, lt:], out[:, :lt]
+
+
+def torch_flux_forward(sd, cfg, hidden, encoder_hidden, pooled, timestep,
+                       img_ids, txt_ids, guidance=None):
+    """diffusers FluxTransformer2DModel.forward over an HF-named state dict.
+
+    hidden [B, L_img, in_channels] packed latents, timestep in [0, 1]
+    (x1000 applied here, as in diffusers), ids [B, L, 3].
+    """
+    inner = cfg.num_attention_heads * cfg.attention_head_dim
+    h = _lin(sd, "x_embedder", hidden)
+    temb = _lin(sd, "time_text_embed.timestep_embedder.linear_2", F.silu(
+        _lin(sd, "time_text_embed.timestep_embedder.linear_1",
+             torch_timestep_embedding(timestep * 1000.0, 256))))
+    if cfg.guidance_embeds:
+        temb = temb + _lin(sd, "time_text_embed.guidance_embedder.linear_2", F.silu(
+            _lin(sd, "time_text_embed.guidance_embedder.linear_1",
+                 torch_timestep_embedding(guidance * 1000.0, 256))))
+    temb = temb + _lin(sd, "time_text_embed.text_embedder.linear_2", F.silu(
+        _lin(sd, "time_text_embed.text_embedder.linear_1", pooled)))
+    ctx = _lin(sd, "context_embedder", encoder_hidden)
+
+    rope = _flux_rope(torch.cat([txt_ids, img_ids], dim=1), cfg.axes_dims_rope)
+    heads, head_dim = cfg.num_attention_heads, cfg.attention_head_dim
+
+    for i in range(cfg.num_layers):
+        p = f"transformer_blocks.{i}"
+        ada = _lin(sd, p + ".norm1.linear", F.silu(temb))
+        sh, sc, g_msa, sh_mlp, sc_mlp, g_mlp = ada.chunk(6, dim=-1)
+        norm_h = _flux_lnz(h) * (1 + sc[:, None]) + sh[:, None]
+        ada_c = _lin(sd, p + ".norm1_context.linear", F.silu(temb))
+        csh, csc, cg_msa, csh_mlp, csc_mlp, cg_mlp = ada_c.chunk(6, dim=-1)
+        norm_c = _flux_lnz(ctx) * (1 + csc[:, None]) + csh[:, None]
+
+        attn_h, attn_c = _flux_sdpa(sd, p + ".attn", norm_h, norm_c, rope,
+                                    heads, head_dim)
+        h = h + g_msa[:, None] * _lin(sd, p + ".attn.to_out.0", attn_h)
+        n2 = _flux_lnz(h) * (1 + sc_mlp[:, None]) + sh_mlp[:, None]
+        ff = _lin(sd, p + ".ff.net.2",
+                  F.gelu(_lin(sd, p + ".ff.net.0.proj", n2), approximate="tanh"))
+        h = h + g_mlp[:, None] * ff
+
+        ctx = ctx + cg_msa[:, None] * _lin(sd, p + ".attn.to_add_out", attn_c)
+        cn2 = _flux_lnz(ctx) * (1 + csc_mlp[:, None]) + csh_mlp[:, None]
+        ffc = _lin(sd, p + ".ff_context.net.2",
+                   F.gelu(_lin(sd, p + ".ff_context.net.0.proj", cn2),
+                          approximate="tanh"))
+        ctx = ctx + cg_mlp[:, None] * ffc
+
+    x = torch.cat([ctx, h], dim=1)
+    b, l, _ = x.shape
+    for i in range(cfg.num_single_layers):
+        p = f"single_transformer_blocks.{i}"
+        ada = _lin(sd, p + ".norm.linear", F.silu(temb))
+        sh, sc, gate = ada.chunk(3, dim=-1)
+        norm_x = _flux_lnz(x) * (1 + sc[:, None]) + sh[:, None]
+        mlp = F.gelu(_lin(sd, p + ".proj_mlp", norm_x), approximate="tanh")
+
+        def sh_(t):
+            return t.view(b, l, heads, head_dim).transpose(1, 2)
+
+        q = _flux_rmsnorm(sd, f"{p}.attn.norm_q", sh_(_lin(sd, f"{p}.attn.to_q", norm_x)))
+        k = _flux_rmsnorm(sd, f"{p}.attn.norm_k", sh_(_lin(sd, f"{p}.attn.to_k", norm_x)))
+        v = sh_(_lin(sd, f"{p}.attn.to_v", norm_x))
+        cos, sin = rope
+        q = _flux_apply_rope(q, cos, sin)
+        k = _flux_apply_rope(k, cos, sin)
+        attn = F.scaled_dot_product_attention(q, k, v)
+        attn = attn.transpose(1, 2).reshape(b, l, heads * head_dim)
+        x = x + gate[:, None] * _lin(sd, p + ".proj_out",
+                                     torch.cat([attn, mlp], dim=2))
+
+    h = x[:, encoder_hidden.shape[1]:]
+    ada = _lin(sd, "norm_out.linear", F.silu(temb))
+    sc, sh = ada.chunk(2, dim=-1)
+    h = _flux_lnz(h) * (1 + sc[:, None]) + sh[:, None]
+    return _lin(sd, "proj_out", h)

@@ -319,6 +319,118 @@ def convert_unet(sd: Dict, spec: UNetSpec) -> Dict:
     return params
 
 
+# ---------------------------------------------------------------------------
+# Flux transformer
+# ---------------------------------------------------------------------------
+
+def _rms(sd, p):
+    return {"scale": _np(sd[p + ".weight"])}
+
+
+def convert_flux(sd: Dict, cfg) -> Dict:
+    """HF diffusers ``FluxTransformer2DModel`` state dict -> models/flux.py
+    ``GatedFluxTransformer2DModel`` params.
+
+    The reference loads Flux-dev with ``from_pretrained`` into its gated
+    subclass (pdm/training/trainer.py:1604-1729); the gated graph shares the
+    plain model's weights (gates are parameterless), so the diffusers naming
+    is the contract: joint blocks ``transformer_blocks.{i}`` carry
+    norm1/norm1_context AdaLN-Zero linears, dual-stream attention
+    (to_q/k/v + add_{q,k,v}_proj with RMS norm_q/k and norm_added_q/k,
+    to_out.0 / to_add_out) and ff/ff_context; single blocks
+    ``single_transformer_blocks.{i}`` carry norm.linear, proj_mlp, attn
+    q/k/v + RMS norms, and the fused proj_out over [attn, mlp]
+    (pdm/models/transformers/transformer_flux.py:22-306).
+    """
+    params: Dict = {
+        "x_embedder": _linear(sd, "x_embedder"),
+        "context_embedder": _linear(sd, "context_embedder"),
+        "time_text_embed": {
+            "timestep_embedder": {
+                "linear_1": _linear(sd, "time_text_embed.timestep_embedder.linear_1"),
+                "linear_2": _linear(sd, "time_text_embed.timestep_embedder.linear_2"),
+            },
+            "text_embedder": {
+                "linear_1": _linear(sd, "time_text_embed.text_embedder.linear_1"),
+                "linear_2": _linear(sd, "time_text_embed.text_embedder.linear_2"),
+            },
+        },
+        "norm_out_linear": _linear(sd, "norm_out.linear"),
+        "proj_out": _linear(sd, "proj_out"),
+    }
+    if cfg.guidance_embeds:
+        params["time_text_embed"]["guidance_embedder"] = {
+            "linear_1": _linear(sd, "time_text_embed.guidance_embedder.linear_1"),
+            "linear_2": _linear(sd, "time_text_embed.guidance_embedder.linear_2"),
+        }
+    for i in range(cfg.num_layers):
+        p = f"transformer_blocks.{i}"
+        params[f"transformer_blocks_{i}"] = {
+            "norm1": {"linear": _linear(sd, f"{p}.norm1.linear")},
+            "norm1_context": {"linear": _linear(sd, f"{p}.norm1_context.linear")},
+            "attn": {
+                "to_q": _linear(sd, f"{p}.attn.to_q"),
+                "to_k": _linear(sd, f"{p}.attn.to_k"),
+                "to_v": _linear(sd, f"{p}.attn.to_v"),
+                "norm_q": _rms(sd, f"{p}.attn.norm_q"),
+                "norm_k": _rms(sd, f"{p}.attn.norm_k"),
+                "add_q_proj": _linear(sd, f"{p}.attn.add_q_proj"),
+                "add_k_proj": _linear(sd, f"{p}.attn.add_k_proj"),
+                "add_v_proj": _linear(sd, f"{p}.attn.add_v_proj"),
+                "norm_added_q": _rms(sd, f"{p}.attn.norm_added_q"),
+                "norm_added_k": _rms(sd, f"{p}.attn.norm_added_k"),
+                "to_out_0": _linear(sd, f"{p}.attn.to_out.0"),
+                "to_add_out": _linear(sd, f"{p}.attn.to_add_out"),
+            },
+            "ff": {
+                "net_0_proj": _linear(sd, f"{p}.ff.net.0.proj"),
+                "net_2": _linear(sd, f"{p}.ff.net.2"),
+            },
+            "ff_context": {
+                "net_0_proj": _linear(sd, f"{p}.ff_context.net.0.proj"),
+                "net_2": _linear(sd, f"{p}.ff_context.net.2"),
+            },
+        }
+    for i in range(cfg.num_single_layers):
+        p = f"single_transformer_blocks.{i}"
+        params[f"single_transformer_blocks_{i}"] = {
+            "norm": {"linear": _linear(sd, f"{p}.norm.linear")},
+            "proj_mlp": _linear(sd, f"{p}.proj_mlp"),
+            "to_q": _linear(sd, f"{p}.attn.to_q"),
+            "to_k": _linear(sd, f"{p}.attn.to_k"),
+            "to_v": _linear(sd, f"{p}.attn.to_v"),
+            "norm_q": _rms(sd, f"{p}.attn.norm_q"),
+            "norm_k": _rms(sd, f"{p}.attn.norm_k"),
+            "proj_out": _linear(sd, f"{p}.proj_out"),
+        }
+    return params
+
+
+def flux_config_from_dir(flux_dir: str, default=None):
+    """Build a FluxConfig from an HF diffusers transformer dir's config.json
+    (what the reference gets implicitly via ``from_pretrained``,
+    pdm/training/trainer.py:1604-1630)."""
+    import json
+    import os
+
+    from .flux import FluxConfig
+
+    path = os.path.join(flux_dir, "config.json")
+    if not os.path.exists(path):
+        return default if default is not None else FluxConfig()
+    with open(path) as f:
+        raw = json.load(f)
+    fields = (
+        "patch_size", "in_channels", "num_layers", "num_single_layers",
+        "attention_head_dim", "num_attention_heads", "joint_attention_dim",
+        "pooled_projection_dim", "guidance_embeds",
+    )
+    kw = {k: raw[k] for k in fields if k in raw and raw[k] is not None}
+    if raw.get("axes_dims_rope"):
+        kw["axes_dims_rope"] = tuple(raw["axes_dims_rope"])
+    return FluxConfig(**kw)
+
+
 def load_torch_state_dict(path: str) -> Dict:
     """Load a torch .bin / .safetensors state dict from disk (host-side)."""
     if path.endswith(".safetensors"):
@@ -336,7 +448,11 @@ def load_torch_state_dict_dir(path: str) -> Dict:
     import json
     import os
 
-    for idx_name in ("model.safetensors.index.json", "pytorch_model.bin.index.json"):
+    for idx_name in (
+        "model.safetensors.index.json",
+        "pytorch_model.bin.index.json",
+        "diffusion_pytorch_model.safetensors.index.json",  # Flux-dev transformer
+    ):
         idx = os.path.join(path, idx_name)
         if os.path.exists(idx):
             with open(idx) as f:
@@ -345,7 +461,9 @@ def load_torch_state_dict_dir(path: str) -> Dict:
             for shard in sorted(set(index["weight_map"].values())):
                 sd.update(load_torch_state_dict(os.path.join(path, shard)))
             return sd
-    for name in ("model.safetensors", "pytorch_model.bin"):
+    for name in ("model.safetensors", "pytorch_model.bin",
+                 "diffusion_pytorch_model.safetensors",
+                 "diffusion_pytorch_model.bin"):
         p = os.path.join(path, name)
         if os.path.exists(p):
             return load_torch_state_dict(p)

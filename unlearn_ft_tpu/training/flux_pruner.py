@@ -44,6 +44,18 @@ class FluxPruningTrainer(PruningTrainer):
         cfg = self.config
         g = cfg.get_path
         fc = cfg.model.prediction_model.get("flux_config") or {}
+        root = str(cfg.get("pretrained_model_name_or_path", ""))
+        transformer_dir = os.path.join(root, "transformer") if root else ""
+        if transformer_dir and os.path.isdir(transformer_dir):
+            # reference loads config + weights via from_pretrained
+            # (trainer.py:1604-1630); yaml flux_config keys override on top
+            from dataclasses import asdict
+
+            from ..models.convert import flux_config_from_dir
+
+            base = asdict(flux_config_from_dir(transformer_dir))
+            base.update(fc)
+            fc = base
         self.flux_cfg = FluxConfig(**{
             k: tuple(v) if isinstance(v, list) else v for k, v in fc.items()
         })
@@ -70,9 +82,23 @@ class FluxPruningTrainer(PruningTrainer):
         img_ids = jnp.asarray(make_image_ids(side, side, b))
         txt_ids = jnp.zeros((b, self.l_txt, 3))
         guidance = jnp.zeros((b,)) if self.flux_cfg.guidance_embeds else None
-        flux_params = self.flux.init(
-            key, hidden, ctx, pooled, t, img_ids, txt_ids, guidance
-        )["params"]
+        if transformer_dir and os.path.isdir(transformer_dir):
+            try:
+                from ..models.convert import convert_flux, load_torch_state_dict_dir
+
+                flux_params = convert_flux(
+                    load_torch_state_dict_dir(transformer_dir), self.flux_cfg
+                )
+                logger.info("loaded Flux transformer weights from %s", transformer_dir)
+            except FileNotFoundError:
+                # config.json without weights (tiny test fixtures): random init
+                flux_params = self.flux.init(
+                    key, hidden, ctx, pooled, t, img_ids, txt_ids, guidance
+                )["params"]
+        else:
+            flux_params = self.flux.init(
+                key, hidden, ctx, pooled, t, img_ids, txt_ids, guidance
+            )["params"]
 
         self.hypernet = HyperStructure(
             self.layout, input_dim=int(g("model.hypernet.input_dim", 768)),
