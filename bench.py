@@ -146,6 +146,9 @@ def _exec_fingerprint(aot_mod=None):
     return aot_mod.source_fingerprint(
         *[os.path.join(pkg, r) for r in _STEP_GRAPH_ROOTS],
         extra=inspect.getsource(build) + inspect.getsource(run),
+        # host-side-only modules inside traced packages: never part of the
+        # jitted step program, so edits must not invalidate TPU executables
+        exclude=("convert.py",),
     )
 
 

@@ -32,10 +32,11 @@ from typing import Optional
 _FORMAT = 1
 
 
-def source_fingerprint(*roots: str, extra: str = "") -> str:
+def source_fingerprint(*roots: str, extra: str = "", exclude: tuple = ()) -> str:
     """sha256 over every ``.py`` file under ``roots`` (path-stable: hashed by
     path relative to each root) plus ``extra`` (encode anything else that
-    shapes the program: shapes, flags, dtypes)."""
+    shapes the program: shapes, flags, dtypes). ``exclude`` drops root-relative
+    paths (e.g. host-side-only modules living inside a traced package)."""
     h = hashlib.sha256()
     for root in roots:
         if os.path.isfile(root):
@@ -47,6 +48,7 @@ def source_fingerprint(*roots: str, extra: str = "") -> str:
                 for f in fs
                 if f.endswith(".py")
             )
+        entries = [(rel, p) for rel, p in entries if rel not in exclude]
         for rel, p in entries:
             h.update(rel.encode())
             with open(p, "rb") as fh:
