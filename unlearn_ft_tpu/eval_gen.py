@@ -69,12 +69,8 @@ def load_pruning_pipeline(config, checkpoint_dir: str):
     from .utils.config import resolve_model_type
 
     mt = resolve_model_type(config)
-    if mt != "sd":
-        raise NotImplementedError(
-            f"load_pruning_pipeline supports the SD family only (config is "
-            f"{mt!r}); SDXL/Flux expert samples are produced by the trainers' "
-            "validate() hooks (training/sdxl_pruner.py, flux_pruner.py)"
-        )
+    if mt == "flux":
+        return _load_flux_pruning_pipeline(config, checkpoint_dir)
     g = config.get_path
     seed = int(config.get("seed", 43))
     unet_cfg = unet_config_from(config)
@@ -87,19 +83,33 @@ def load_pruning_pipeline(config, checkpoint_dir: str):
     if os.path.isdir(unet_dir):
         unet_params = load_diffusers_unet(unet_dir, spec)
     else:  # random-init runs (tests/smoke): same seed as the trainer
+        added = None
+        if unet_cfg.addition_embed_type == "text_time":
+            pooled_dim = (unet_cfg.projection_class_embeddings_input_dim
+                          - 6 * unet_cfg.addition_time_embed_dim)
+            added = {"text_embeds": jnp.zeros((1, pooled_dim)),
+                     "time_ids": jnp.zeros((1, 6))}
         unet_params = unet.init(
             jax.random.PRNGKey(seed),
             jnp.zeros((1, unet_cfg.sample_size, unet_cfg.sample_size,
                        unet_cfg.in_channels)),
             jnp.array([0]), jnp.zeros((1, 7, unet_cfg.cross_attention_dim)),
+            added_cond=added,
         )["params"]
 
-    # frozen towers via the trainer's own builder (unbound call on a holder)
-    class _Holder:
-        build_frozen_towers = BaseTrainer.build_frozen_towers
-        _load_mpnet = BaseTrainer._load_mpnet
+    # frozen towers via the trainer's own builder: an uninitialized trainer
+    # instance gives the real (SDXL-aware, super()-chained) method without
+    # paying trainer construction
+    if mt == "sdxl":
+        from .training.sdxl_pruner import SDXLPruningTrainer
 
-    h = _Holder()
+        h = object.__new__(SDXLPruningTrainer)
+    else:
+        class _Holder:
+            build_frozen_towers = BaseTrainer.build_frozen_towers
+            _load_mpnet = BaseTrainer._load_mpnet
+
+        h = _Holder()
     h.config = config
     h.dtype = jnp.float32
     h.build_frozen_towers()
@@ -146,15 +156,115 @@ def load_pruning_pipeline(config, checkpoint_dir: str):
         from transformers import CLIPTokenizer
 
         tokenizer = CLIPTokenizer.from_pretrained(os.path.join(root, "tokenizer"))
+    common = dict(
+        hypernet=hypernet, hypernet_params=trainable["hypernet"],
+        quantizer_cfg=qcfg, quantizer_params=trainable["quantizer"],
+        quantizer_state=qstate, layout=layout,
+        mpnet=h.mpnet, mpnet_params=h.mpnet_params,
+    )
+    if mt == "sdxl":
+        from transformers import CLIPTokenizer
+
+        from .pipelines import SDXLPruningPipeline
+
+        tok2_dir = os.path.join(root, "tokenizer_2")
+        tokenizer_2 = CLIPTokenizer.from_pretrained(
+            tok2_dir if os.path.isdir(tok2_dir) else os.path.join(root, "tokenizer")
+        ) if tokenizer is not None else None
+        return SDXLPruningPipeline(
+            unet, jax.tree.map(jnp.asarray, unet_params), h.vae, h.vae_params,
+            DiffusionSchedule(), scheduler_type="ddim",
+            text_encoder=h.text_encoder, text_params=h.text_params,
+            tokenizer=tokenizer, text_encoder_2=h.text_encoder_2,
+            text_params_2=h.text_params_2, tokenizer_2=tokenizer_2,
+            **common,
+        )
     return PruningPipeline(
         unet, jax.tree.map(jnp.asarray, unet_params), h.vae, h.vae_params,
         DiffusionSchedule(), scheduler_type="ddim",
         text_encoder=h.text_encoder, text_params=h.text_params,
         tokenizer=tokenizer,
-        hypernet=hypernet, hypernet_params=trainable["hypernet"],
-        quantizer_cfg=qcfg, quantizer_params=trainable["quantizer"],
-        quantizer_state=qstate, layout=layout,
-        mpnet=h.mpnet, mpnet_params=h.mpnet_params,
+        **common,
+    )
+
+
+def _load_flux_pruning_pipeline(config, checkpoint_dir: str):
+    """FluxPruningPipeline from a Flux pruning checkpoint-N dir + the training
+    YAML — mirrors FluxPruningTrainer.init_models' construction (reference
+    FluxPruningPipeline from_pretrained, pruning_pipelines.py:1613-1711)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import orbax.checkpoint as ocp
+
+    from .models.hypernet import HyperStructure
+    from .models.quantizer import QuantizerConfig
+    from .pipelines import FluxPruningPipeline
+    from .schedulers import FlowMatchSchedule
+    from .training.flux_pruner import FluxPruningTrainer
+    from .utils import flux_macs as fm
+
+    g = config.get_path
+
+    # model construction + tower loading via the trainer's own init (an
+    # uninitialized instance: init_models reads only config/dtype/seed/mesh-
+    # independent state and leaves trainable/frozen host trees behind)
+    from .parallel import create_mesh
+
+    h = object.__new__(FluxPruningTrainer)
+    h.config = config
+    h.dtype = jnp.float32
+    h.seed = int(config.get("seed", 43))
+    h.loss_cfg = _flux_loss_cfg(config)
+    h.mesh = create_mesh(1)
+    h.place_frozen = lambda tree: tree
+    h.init_models()
+    h._load_mpnet()
+
+    tree = ocp.StandardCheckpointer().restore(os.path.join(checkpoint_dir, "state"))
+    trainable = tree["trainable"]
+    emb_gs_path = os.path.join(checkpoint_dir, "quantizer_embeddings.npy")
+    emb_gs = (
+        np.load(emb_gs_path) if os.path.exists(emb_gs_path)
+        else tree["qstate_embedding_gs"]
+    )
+    qstate = {"embedding_gs": jnp.asarray(emb_gs), "prunable_macs_template": None}
+    table = fm.flux_macs(h.flux_cfg, h.l_img, h.l_txt)
+    norm = table["prunable"]
+    qstate = h.qcfg.set_prunable_macs_template(
+        qstate, [[v / norm for v in sub] for sub in table["per_submodule_prunable"]]
+    )
+
+    tokenizer = tokenizer_2 = None
+    root = str(config.get("pretrained_model_name_or_path", ""))
+    if getattr(h, "text_params", None) is not None and root:
+        from transformers import AutoTokenizer, CLIPTokenizer
+
+        tokenizer = CLIPTokenizer.from_pretrained(os.path.join(root, "tokenizer"))
+        tokenizer_2 = AutoTokenizer.from_pretrained(os.path.join(root, "tokenizer_2"))
+    return FluxPruningPipeline(
+        h.flux, h.frozen["flux"],
+        FlowMatchSchedule(shift=float(g("model.prediction_model.flow_shift", 1.0))),
+        vae=h.vae, vae_params=h.vae_params,
+        hypernet=h.hypernet, hypernet_params=trainable["hypernet"],
+        quantizer_cfg=h.qcfg, quantizer_params=trainable["quantizer"],
+        quantizer_state=qstate, layout=h.layout,
+        text_encoder=h.text_encoder, text_params=h.text_params,
+        tokenizer=tokenizer, t5=h.t5, t5_params=h.t5_params,
+        tokenizer_2=tokenizer_2, mpnet=h.mpnet, mpnet_params=h.mpnet_params,
+        max_text_tokens=h.l_txt,
+    )
+
+
+def _flux_loss_cfg(config):
+    """LossConfig slice init_models needs (resource target rescale)."""
+    from .training.steps import LossConfig
+
+    g = config.get_path
+    return LossConfig(
+        resource_target=float(
+            g("training.losses.resource_loss.pruning_target", 0.6)
+        ),
     )
 
 

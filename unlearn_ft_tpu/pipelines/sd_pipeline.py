@@ -273,6 +273,7 @@ class PruningPipeline(SDPipeline):
         width: int = 512,
         seed: int = 0,
         safety_checker=None,
+        added_cond: Optional[dict] = None,
     ):
         """Routed sampling. With ``safety_checker`` (pipelines.SafetyChecker)
         flagged images are blacked out and the per-image nsfw flags are
@@ -281,7 +282,7 @@ class PruningPipeline(SDPipeline):
         structure, idx = self.route(mpnet_embeddings)
         images = self.generate_samples(
             prompt_embeds, empty_prompt_embeds, num_inference_steps, guidance_scale,
-            height, width, seed, structure=structure,
+            height, width, seed, structure=structure, added_cond=added_cond,
         )
         macs = macs_lib.calc_macs(self.unet.spec, structure)
         full = macs_lib.calc_macs(self.unet.spec, self.layout.ones(1))["cur_prunable"][0]
@@ -321,3 +322,68 @@ class PruningPipeline(SDPipeline):
                 prompt_embeds, empty_prompt_embeds, structure=structure, **kwargs
             )
         return results
+
+
+class SDXLPruningPipeline(PruningPipeline):
+    """SDXL-checkpoint analysis pipeline: dual CLIP towers feed encode, the
+    pooled micro-conditioning rides through the denoise loop as added_cond
+    (diffusers SDXL encode_prompt semantics the reference inherits;
+    trainer-side analogue training/sdxl_pruner.py:84-121). Prompt embeddings
+    are (hidden, pooled) pairs so analyze.py's encode->sample flow stays
+    uniform across model families."""
+
+    def __init__(self, *args, text_encoder_2=None, text_params_2=None,
+                 tokenizer_2=None, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.text_encoder_2 = text_encoder_2
+        self.text_params_2 = text_params_2
+        self.tokenizer_2 = tokenizer_2
+
+    def encode_prompts(self, prompts: Sequence[str]):
+        """-> (prompt_embeds [B, L, 768+1280], pooled [B, proj_dim])."""
+        assert self.tokenizer is not None and self.text_params is not None
+        assert self.tokenizer_2 is not None and self.text_params_2 is not None
+        ids1 = self.tokenizer(
+            list(prompts), padding="max_length", truncation=True,
+            max_length=self.tokenizer.model_max_length, return_tensors="np",
+        ).input_ids
+        ids2 = self.tokenizer_2(
+            list(prompts), padding="max_length", truncation=True,
+            max_length=self.tokenizer_2.model_max_length, return_tensors="np",
+        ).input_ids
+        _, _, h1 = self.text_encoder.apply(
+            {"params": self.text_params}, jnp.asarray(ids1), penultimate=True
+        )
+        _, pooled2, h2 = self.text_encoder_2.apply(
+            {"params": self.text_params_2}, jnp.asarray(ids2), penultimate=True
+        )
+        return jnp.concatenate([h1, h2], axis=-1), pooled2
+
+    @staticmethod
+    def _added(pe, epe, height, width):
+        (pe_h, pooled), (epe_h, epooled) = pe, epe
+        return pe_h, epe_h, sdxl_added_cond(epooled, pooled, height, width)
+
+    def __call__(self, mpnet_embeddings, prompt_embeds, empty_prompt_embeds,
+                 height: int = 1024, width: int = 1024, **kwargs):
+        pe, epe, added = self._added(prompt_embeds, empty_prompt_embeds, height, width)
+        return super().__call__(
+            mpnet_embeddings, pe, epe, height=height, width=width,
+            added_cond=added, **kwargs
+        )
+
+    def quantizer_samples(self, prompt_embeds, empty_prompt_embeds,
+                          expert_ids=None, height: int = 1024, width: int = 1024,
+                          **kwargs):
+        pe, epe, added = self._added(prompt_embeds, empty_prompt_embeds, height, width)
+        return super().quantizer_samples(
+            pe, epe, expert_ids=expert_ids, height=height, width=width,
+            added_cond=added, **kwargs
+        )
+
+    def depth_analysis(self, prompt_embeds, empty_prompt_embeds,
+                       height: int = 1024, width: int = 1024, **kwargs):
+        pe, epe, added = self._added(prompt_embeds, empty_prompt_embeds, height, width)
+        return super().depth_analysis(
+            pe, epe, height=height, width=width, added_cond=added, **kwargs
+        )
