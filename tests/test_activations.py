@@ -7,6 +7,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.fast  # sub-minute unit subset (pre-commit gate)
+
 from unlearn_ft_tpu.models.attention import FeedForward
 
 DIM, INNER, GW = 8, 16, 4

@@ -1,6 +1,10 @@
 """utils/aot.py — serialized-executable persistence (bench fast path)."""
+import pytest
+
 import os
 import tempfile
+
+pytestmark = pytest.mark.fast  # sub-minute unit subset (pre-commit gate)
 
 import jax
 import jax.numpy as jnp

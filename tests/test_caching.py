@@ -1,8 +1,12 @@
 """Round-3 hardening: precompute caches keyed by model identity, multi-host
 shard_batch contract, explicit dataloader_num_workers=0, and the trainer's
 post-compile throughput window."""
+import pytest
+
 import jax
 import numpy as np
+
+pytestmark = pytest.mark.fast  # sub-minute unit subset (pre-commit gate)
 
 from unlearn_ft_tpu.data.preprocess import (
     LatentMomentsCache,

@@ -1,6 +1,10 @@
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+pytestmark = pytest.mark.fast  # sub-minute unit subset (pre-commit gate)
 
 from unlearn_ft_tpu.data import filter_dataset_by_expert
 from unlearn_ft_tpu.models.hypernet import HyperStructure

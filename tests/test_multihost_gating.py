@@ -6,9 +6,13 @@ jax.process_index() is always 0 — the flag injection stands in for the
 second host). Reference analogue: accelerate main-process save hooks and
 trackers (trainer.py:311-373, 394-403).
 """
+import pytest
+
 import os
 
 import numpy as np
+
+pytestmark = pytest.mark.fast  # sub-minute unit subset (pre-commit gate)
 
 from unlearn_ft_tpu.training.checkpoint import CheckpointManager
 from unlearn_ft_tpu.utils.config import Config

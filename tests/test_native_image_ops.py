@@ -10,6 +10,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.fast  # sub-minute unit subset (pre-commit gate)
+
 sys.path.insert(0, os.path.dirname(__file__))
 
 from PIL import Image

@@ -6,6 +6,8 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+pytestmark = pytest.mark.fast  # sub-minute unit subset (pre-commit gate)
+
 from unlearn_ft_tpu.training.optim import (
     _stochastic_round,
     make_optimizer,

@@ -7,6 +7,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.fast  # sub-minute unit subset (pre-commit gate)
+
 torch = pytest.importorskip("torch")
 
 

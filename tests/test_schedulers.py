@@ -1,6 +1,10 @@
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+pytestmark = pytest.mark.fast  # sub-minute unit subset (pre-commit gate)
 
 from unlearn_ft_tpu.schedulers import (
     DiffusionSchedule,
