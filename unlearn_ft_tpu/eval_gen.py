@@ -89,7 +89,10 @@ def load_pruning_pipeline(config, checkpoint_dir: str):
                           - 6 * unet_cfg.addition_time_embed_dim)
             added = {"text_embeds": jnp.zeros((1, pooled_dim)),
                      "time_ids": jnp.zeros((1, 6))}
-        unet_params = unet.init(
+        from .training.trainer import host_init
+
+        unet_params = host_init(
+            unet.init,
             jax.random.PRNGKey(seed),
             jnp.zeros((1, unet_cfg.sample_size, unet_cfg.sample_size,
                        unet_cfg.in_channels)),

@@ -25,7 +25,7 @@ from ..parallel import replicate
 from ..utils.logging_utils import logger
 from .checkpoint import spec_to_json
 from .steps import make_finetune_step
-from .trainer import BaseTrainer, load_diffusers_unet, unet_config_from
+from .trainer import BaseTrainer, host_init, load_diffusers_unet, unet_config_from
 
 
 def resolve_num_workers(cfg_value) -> int:
@@ -74,7 +74,9 @@ class FineTuneTrainer(BaseTrainer):
         if os.path.isdir(unet_dir):
             teacher_params = load_diffusers_unet(unet_dir, self.full_spec)
         else:
-            teacher_params = self.teacher.init(key, sample, jnp.array([0]), ctx)["params"]
+            teacher_params = host_init(
+                self.teacher.init, key, sample, jnp.array([0]), ctx
+            )["params"]
 
         arch_vector = self._resolve_arch_vector()
         if arch_vector is not None:
@@ -94,8 +96,9 @@ class FineTuneTrainer(BaseTrainer):
         )
 
         if cfg.get("random_init"):
-            student_params = UNet2DConditionModel(self.student_spec).init(
-                jax.random.PRNGKey(self.seed + 1), sample, jnp.array([0]), ctx
+            student_params = host_init(
+                UNet2DConditionModel(self.student_spec).init,
+                jax.random.PRNGKey(self.seed + 1), sample, jnp.array([0]), ctx,
             )["params"]
 
         self.build_frozen_towers()

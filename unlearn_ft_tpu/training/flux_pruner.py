@@ -36,6 +36,7 @@ from ..schedulers import FlowMatchSchedule
 from ..utils import flux_macs as fm
 from ..utils.logging_utils import logger
 from .pruner import PruningTrainer
+from .trainer import host_init
 from .steps import make_flux_pruner_step
 
 
@@ -92,26 +93,29 @@ class FluxPruningTrainer(PruningTrainer):
                 logger.info("loaded Flux transformer weights from %s", transformer_dir)
             except FileNotFoundError:
                 # config.json without weights (tiny test fixtures): random init
-                flux_params = self.flux.init(
-                    key, hidden, ctx, pooled, t, img_ids, txt_ids, guidance
+                flux_params = host_init(
+                    self.flux.init, key, hidden, ctx, pooled, t, img_ids,
+                    txt_ids, guidance,
                 )["params"]
         else:
-            flux_params = self.flux.init(
-                key, hidden, ctx, pooled, t, img_ids, txt_ids, guidance
+            flux_params = host_init(
+                self.flux.init, key, hidden, ctx, pooled, t, img_ids,
+                txt_ids, guidance,
             )["params"]
 
         self.hypernet = HyperStructure(
             self.layout, input_dim=int(g("model.hypernet.input_dim", 768)),
             dtype=self.dtype,
         )
-        hparams = self.hypernet.init(
-            jax.random.PRNGKey(self.seed + 2), jnp.zeros((1, self.hypernet.input_dim))
+        hparams = host_init(
+            self.hypernet.init,
+            jax.random.PRNGKey(self.seed + 2), jnp.zeros((1, self.hypernet.input_dim)),
         )["params"]
         self.qcfg = QuantizerConfig(
             layout=self.layout,
             n_e=int(g("model.quantizer.num_arch_vq_codebook_embeddings", 8)),
         )
-        qparams = self.qcfg.init_params(jax.random.PRNGKey(self.seed + 3))
+        qparams = host_init(self.qcfg.init_params, jax.random.PRNGKey(self.seed + 3))
         qstate = self.qcfg.init_state(qparams)
 
         table = fm.flux_macs(self.flux_cfg, self.l_img, self.l_txt)
@@ -168,8 +172,9 @@ class FluxPruningTrainer(PruningTrainer):
                     load_torch_state_dict_dir(te_dir), clip_cfg.num_hidden_layers
                 )
             else:  # explicit tiny config, no weights: random init (tests)
-                self.text_params = self.text_encoder.init(
-                    jax.random.PRNGKey(1), jnp.zeros((1, 4), jnp.int32)
+                self.text_params = host_init(
+                    self.text_encoder.init,
+                    jax.random.PRNGKey(1), jnp.zeros((1, 4), jnp.int32),
                 )["params"]
 
         t5_dir = os.path.join(root, "text_encoder_2")
@@ -184,8 +189,9 @@ class FluxPruningTrainer(PruningTrainer):
                     load_torch_state_dict_dir(t5_dir), t5_cfg.num_layers
                 )
             else:
-                self.t5_params = self.t5.init(
-                    jax.random.PRNGKey(2), jnp.zeros((1, 4), jnp.int32)
+                self.t5_params = host_init(
+                    self.t5.init,
+                    jax.random.PRNGKey(2), jnp.zeros((1, 4), jnp.int32),
                 )["params"]
 
         vae_dir = os.path.join(root, "vae")
@@ -213,8 +219,8 @@ class FluxPruningTrainer(PruningTrainer):
             else:
                 res = 2 ** (len(vae_cfg.block_out_channels) - 1) * 2
                 key = jax.random.PRNGKey(3)
-                self.vae_params = self.vae.init(
-                    key, jnp.zeros((1, res * 4, res * 4, 3)), key
+                self.vae_params = host_init(
+                    self.vae.init, key, jnp.zeros((1, res * 4, res * 4, 3)), key
                 )["params"]
 
         self._load_mpnet()

@@ -22,7 +22,7 @@ from ..utils import macs as macs_lib
 from ..utils.logging_utils import logger
 from .finetune import FineTuneTrainer
 from .steps import make_pruner_step
-from .trainer import load_diffusers_unet, unet_config_from
+from .trainer import host_init, load_diffusers_unet, unet_config_from
 
 
 class PruningTrainer(FineTuneTrainer):
@@ -62,9 +62,9 @@ class PruningTrainer(FineTuneTrainer):
         if os.path.isdir(unet_dir):
             unet_params = load_diffusers_unet(unet_dir, self.full_spec)
         else:
-            unet_params = self.unet.init(key, sample, jnp.array([0]), ctx, **init_kwargs)[
-                "params"
-            ]
+            unet_params = host_init(
+                self.unet.init, key, sample, jnp.array([0]), ctx, **init_kwargs
+            )["params"]
 
         g = cfg.get_path
         self.hypernet = HyperStructure(
@@ -77,10 +77,10 @@ class PruningTrainer(FineTuneTrainer):
         )
         hkey = jax.random.PRNGKey(self.seed + 2)
         if self.hypernet.single_arch_param:
-            hparams = self.hypernet.init(hkey)["params"]
+            hparams = host_init(self.hypernet.init, hkey)["params"]
         else:
-            hparams = self.hypernet.init(
-                hkey, jnp.zeros((1, self.hypernet.input_dim))
+            hparams = host_init(
+                self.hypernet.init, hkey, jnp.zeros((1, self.hypernet.input_dim))
             )["params"]
 
         self.qcfg = QuantizerConfig(
@@ -96,7 +96,7 @@ class PruningTrainer(FineTuneTrainer):
             depth_order=tuple(g("model.quantizer.depth_order"))
             if g("model.quantizer.depth_order") else None,
         )
-        qparams = self.qcfg.init_params(jax.random.PRNGKey(self.seed + 3))
+        qparams = host_init(self.qcfg.init_params, jax.random.PRNGKey(self.seed + 3))
         qstate = self.qcfg.init_state(qparams)
 
         # prunable-MACs template + pruning-target rescale (count_macs /

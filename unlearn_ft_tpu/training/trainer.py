@@ -78,6 +78,26 @@ def resolve_learning_rate(config: Config, lr_key, grad_accum: int = 1) -> float:
     return float(lr)
 
 
+def host_init(fn, *args, **kwargs):
+    """Run a random flax ``init`` (or any one-shot initializer) on the host
+    CPU backend and return numpy leaves.
+
+    The random-init path exists for tests/smoke (real runs load converted
+    checkpoints host-side, models/convert.py), but it must not die on
+    accelerator quirks: an init program carries one threefry instance per
+    param leaf, which the axon TPU platform's remote compile helper cannot
+    handle (hang/SIGKILL at hundreds of instances — measured r5: a tiny
+    CLI trainer stalled >25 min in ``Module.init`` on-chip). One-shot init
+    programs gain nothing from the accelerator anyway; compile them for
+    CPU and let ``replicate``/``shard`` place the results later.
+    """
+    cpu = jax.local_devices(backend="cpu")[0]
+    args, kwargs = jax.device_get((args, kwargs))
+    with jax.default_device(cpu):
+        out = fn(*args, **kwargs)
+    return jax.device_get(out)
+
+
 def load_diffusers_unet(path: str, spec):
     from ..models.convert import convert_unet, load_torch_state_dict
 
@@ -246,8 +266,8 @@ class BaseTrainer:
                     break
         else:
             res = 2 ** (len(vae_cfg.block_out_channels) - 1) * 2
-            self.vae_params = self.vae.init(
-                key, jnp.zeros((1, res * 4, res * 4, 3)), key
+            self.vae_params = host_init(
+                self.vae.init, key, jnp.zeros((1, res * 4, res * 4, 3)), key
             )["params"]
 
         te_cfg_dict = cfg.model.get("text_encoder_config")
