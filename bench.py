@@ -148,7 +148,7 @@ def _exec_fingerprint(aot_mod=None):
         extra=inspect.getsource(build) + inspect.getsource(run),
         # host-side-only modules inside traced packages: never part of the
         # jitted step program, so edits must not invalidate TPU executables
-        exclude=("convert.py",),
+        exclude=("convert.py", "export.py"),
     )
 
 

@@ -32,10 +32,16 @@ def load_unet_from_checkpoint(checkpoint_dir: str, dtype=None) -> Tuple:
     step = int(os.path.basename(checkpoint_dir.rstrip("/")).split("-")[-1])
     mgr = CheckpointManager(ckpt_root)
     unet = UNet2DConditionModel(spec, **({"dtype": dtype} if dtype else {}))
+    added = None
+    if spec.addition_embed_type == "text_time":  # SDXL micro-conditioning
+        pooled_dim = (spec.projection_class_embeddings_input_dim
+                      - 6 * spec.addition_time_embed_dim)
+        added = {"text_embeds": jnp.zeros((1, pooled_dim)),
+                 "time_ids": jnp.zeros((1, 6))}
     template = jax.eval_shape(
         lambda k: unet.init(
             k, jnp.zeros((1, 64, 64, spec.in_channels)), jnp.zeros((1,), jnp.int32),
-            jnp.zeros((1, 77, spec.cross_attention_dim)),
+            jnp.zeros((1, 77, spec.cross_attention_dim)), added_cond=added,
         ),
         jax.random.PRNGKey(0),
     )["params"]
