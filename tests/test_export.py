@@ -169,6 +169,125 @@ def test_export_dropped_modules_keep_original_indices():
         assert any(k.startswith(pfx) for k in sd), pfx
 
 
+@pytest.mark.fast
+def test_export_hypernet_golden_torch():
+    """Exported hypernet state dict drives a plain-torch replica of the
+    reference's weight-norm'd mh_fc stack (hypernet.py:25-53, torch
+    parametrized naming) to the same logits as the Flax forward; and
+    convert_hypernet round-trips it exactly."""
+    import jax
+
+    from unlearn_ft_tpu.models.export import export_hypernet
+    from unlearn_ft_tpu.models.hypernet import HyperStructure, convert_hypernet
+
+    cfg = _tiny_cfg()
+    layout = gate_layout_for_config(cfg)
+    hn = HyperStructure(layout, input_dim=12)
+    params = hn.init(jax.random.PRNGKey(0), np.zeros((1, 12), np.float32))["params"]
+    sd, hf_cfg = export_hypernet(params, layout)
+    assert hf_cfg["structure"] == layout.nested_structure
+    assert hf_cfg["input_dim"] == 12 and hf_cfg["wn_flag"] is True
+
+    # round trip through the import converter: bit-exact
+    rt = convert_hypernet(sd, layout)
+    flat, _ = jax.tree_util.tree_flatten_with_path(params)
+    flat_rt = dict(jax.tree_util.tree_flatten_with_path(rt)[0])
+    for path, leaf in flat:
+        np.testing.assert_array_equal(np.asarray(leaf), np.asarray(flat_rt[path]))
+
+    # independent torch replica, strict load
+    import torch.nn as tnn
+    from torch.nn.utils.parametrizations import weight_norm
+
+    mods = [tnn.Linear(12, w, bias=False) for w in layout.width_list]
+    mods.append(tnn.Linear(12, layout.num_depth, bias=False))
+    holder = tnn.Module()
+    holder.mh_fc = tnn.ModuleList([weight_norm(m) for m in mods])
+    holder.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()},
+        strict=True,
+    )
+    x = np.random.default_rng(1).standard_normal((3, 12)).astype(np.float32)
+    with torch.no_grad():
+        want = torch.cat([fc(torch.from_numpy(x)) for fc in holder.mh_fc], dim=1).numpy()
+    got = hn.apply({"params": params}, np.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+
+@pytest.mark.fast
+def test_export_quantizer_golden():
+    import jax
+
+    from unlearn_ft_tpu.models.export import export_quantizer
+    from unlearn_ft_tpu.models.quantizer import QuantizerConfig
+
+    layout = gate_layout_for_config(_tiny_cfg())
+    qcfg = QuantizerConfig(layout=layout, n_e=4)
+    qparams = qcfg.init_params(jax.random.PRNGKey(3))
+    emb_gs = np.asarray(qcfg.init_state(qparams)["embedding_gs"])
+    sd, hf_cfg = export_quantizer(qparams, emb_gs, layout, qcfg=qcfg)
+    np.testing.assert_array_equal(sd["embedding.weight"], np.asarray(qparams["embedding"]))
+    np.testing.assert_array_equal(sd["embedding_gs"], emb_gs)
+    assert hf_cfg["n_e"] == 4 and hf_cfg["structure"] == layout.nested_structure
+    assert sd["embedding.weight"].shape == (4, layout.total_dim)
+
+
+def test_export_pruning_checkpoint_cli(tmp_path):
+    """Pruning-checkpoint export: orbax tree -> hypernet/ + quantizer/ HF
+    subfolders + quantizer_embeddings.pt (the reference fine-tune stage's
+    inputs, trainer.py:2132-2163)."""
+    import importlib.util
+    import io
+
+    import jax
+
+    from unlearn_ft_tpu.models.hypernet import HyperStructure
+    from unlearn_ft_tpu.models.quantizer import QuantizerConfig
+    from unlearn_ft_tpu.training.checkpoint import CheckpointManager
+    from unlearn_ft_tpu.training.trainer import unet_config_from
+    from unlearn_ft_tpu.utils.config import load_config
+
+    cfg_path = os.path.join(os.path.dirname(__file__), os.pardir, "configs",
+                            "tests", "tiny_synthetic.yaml")
+    config = load_config(cfg_path)
+    layout = gate_layout_for_config(unet_config_from(config))
+    hn = HyperStructure(layout, input_dim=12)
+    hparams = hn.init(jax.random.PRNGKey(0), np.zeros((1, 12), np.float32))["params"]
+    qcfg = QuantizerConfig(layout=layout, n_e=4)
+    qparams = qcfg.init_params(jax.random.PRNGKey(1))
+    emb_gs = np.asarray(qcfg.init_state(qparams)["embedding_gs"])
+
+    mgr = CheckpointManager(str(tmp_path / "run"))
+    buf = io.BytesIO()
+    np.save(buf, emb_gs)
+    mgr.save(7, {"trainable": {"hypernet": hparams, "quantizer": qparams},
+                 "qstate_embedding_gs": emb_gs, "step": 7},
+             extra_files={"quantizer_embeddings.npy": buf.getvalue()})
+    mgr.wait()
+
+    script = os.path.join(os.path.dirname(__file__), os.pardir, "scripts",
+                          "export_checkpoint.py")
+    mod_spec = importlib.util.spec_from_file_location("export_checkpoint2", script)
+    mod = importlib.util.module_from_spec(mod_spec)
+    mod_spec.loader.exec_module(mod)
+    out = tmp_path / "exported"
+    mod.main(["--checkpoint_dir", str(tmp_path / "run" / "checkpoint-7"),
+              "--out_dir", str(out), "--base_config_path", cfg_path])
+
+    import json
+
+    from safetensors.numpy import load_file
+
+    hsd = load_file(str(out / "hypernet" / "diffusion_pytorch_model.safetensors"))
+    assert any(k.endswith("parametrizations.weight.original0") for k in hsd)
+    hcfg = json.loads((out / "hypernet" / "config.json").read_text())
+    assert hcfg["structure"] == layout.nested_structure
+    qsd = load_file(str(out / "quantizer" / "diffusion_pytorch_model.safetensors"))
+    np.testing.assert_array_equal(qsd["embedding_gs"], emb_gs)
+    emb_pt = torch.load(str(out / "quantizer_embeddings.pt"), weights_only=True)
+    np.testing.assert_allclose(np.asarray(emb_pt), emb_gs, atol=1e-6)
+
+
 def test_export_checkpoint_cli(tmp_path):
     """CLI end-to-end: orbax checkpoint -> safetensors + arch_vector.pt."""
     import importlib.util

@@ -145,6 +145,88 @@ def save_state_dict(sd: Dict[str, np.ndarray], path: str) -> None:
         raise ValueError(f"unsupported state-dict extension: {path}")
 
 
+def export_hypernet(params: Dict, layout) -> (dict, dict):
+    """Flax hypernet params -> (torch state dict, HF config dict) in the
+    reference's format: ``HyperStructure`` with torch parametrized
+    weight-norm naming (``mh_fc.{i}.parametrizations.weight.original0/1``,
+    reference hypernet.py:25-53 — one Linear per width gate + one depth
+    head, weight-norm'd) and a ``config.json`` whose ``structure`` is the
+    nested width/depth dict ``HyperStructure.from_pretrained`` rebuilds
+    from. Inverse of ``hypernet.convert_hypernet``."""
+    sd: Dict[str, np.ndarray] = {}
+    if "arch" in params:  # single_arch_param variant (hypernet.py:38-41)
+        sd["arch"] = _np(params["arch"])
+        cfg = {
+            "_class_name": "HyperStructure",
+            "structure": layout.nested_structure,
+            "input_dim": 768,
+            "wn_flag": True,
+            "linear_bias": False,
+            "single_arch_param": True,
+        }
+        return sd, cfg
+
+    input_dim = None
+    wn = False
+    linear_bias = False
+    n_layers = len(layout.width_list) + 1
+    for i in range(n_layers):
+        entry = params.get(f"mh_fc_{i}")
+        if entry is None:  # zero-width depth head (no depth gates in layout)
+            continue
+        p = f"mh_fc.{i}"
+        if "g" in entry:  # weight-norm: g [out], v stored transposed [in, out]
+            wn = True
+            v = _np(entry["v"]).T  # -> torch [out, in]
+            sd[p + ".parametrizations.weight.original0"] = _np(entry["g"]).reshape(-1, 1)
+            sd[p + ".parametrizations.weight.original1"] = v
+            input_dim = v.shape[1]
+        else:
+            w = _np(entry["kernel"]).T
+            sd[p + ".weight"] = w
+            input_dim = w.shape[1]
+        if "bias" in entry:
+            linear_bias = True
+            sd[p + ".bias"] = _np(entry["bias"])
+    cfg = {
+        "_class_name": "HyperStructure",
+        "structure": layout.nested_structure,
+        "input_dim": int(input_dim),
+        "wn_flag": bool(wn),
+        "linear_bias": bool(linear_bias),
+        "single_arch_param": False,
+    }
+    return sd, cfg
+
+
+def export_quantizer(qparams: Dict, embedding_gs: np.ndarray, layout,
+                     qcfg=None) -> (dict, dict):
+    """Flax quantizer params + relaxed codebook -> (torch state dict, HF
+    config dict) for the reference's ``StructureVectorQuantizer``
+    (quantizer.py:24-111: ``embedding.weight`` + the non-grad
+    ``embedding_gs`` Parameter)."""
+    emb = _np(qparams["embedding"])
+    sd = {
+        "embedding.weight": emb,
+        "embedding_gs": _np(embedding_gs),
+    }
+    cfg = {
+        "_class_name": "StructureVectorQuantizer",
+        "n_e": int(emb.shape[0]),
+        "structure": layout.nested_structure,
+    }
+    if qcfg is not None:
+        cfg.update(
+            temperature=float(qcfg.temperature),
+            base=float(qcfg.base),
+            non_zero_width=bool(qcfg.non_zero_width),
+            optimal_transport=bool(qcfg.optimal_transport),
+            resource_aware_normalization=bool(qcfg.resource_aware_normalization),
+            depth_order=(list(qcfg.depth_order) if qcfg.depth_order else None),
+        )
+    return sd, cfg
+
+
 def save_arch_vector_pt(arch_vector: np.ndarray, path: str) -> None:
     """Write the expert's arch vector as the reference's ``arch_vector.pt``
     sidecar (torch tensor, saved by UnetFineTuner.init_models
