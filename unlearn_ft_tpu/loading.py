@@ -20,9 +20,6 @@ import numpy as np
 def load_unet_from_checkpoint(checkpoint_dir: str, dtype=None) -> Tuple:
     """Restore (spec, unet, params, step) from a ``checkpoint-{step}`` dir
     containing the ``unet_spec.json`` sidecar."""
-    import jax
-    import jax.numpy as jnp
-
     from .models.unet import UNet2DConditionModel
     from .training.checkpoint import CheckpointManager, spec_from_json
 
@@ -32,21 +29,9 @@ def load_unet_from_checkpoint(checkpoint_dir: str, dtype=None) -> Tuple:
     step = int(os.path.basename(checkpoint_dir.rstrip("/")).split("-")[-1])
     mgr = CheckpointManager(ckpt_root)
     unet = UNet2DConditionModel(spec, **({"dtype": dtype} if dtype else {}))
-    added = None
-    if spec.addition_embed_type == "text_time":  # SDXL micro-conditioning
-        pooled_dim = (spec.projection_class_embeddings_input_dim
-                      - 6 * spec.addition_time_embed_dim)
-        added = {"text_embeds": jnp.zeros((1, pooled_dim)),
-                 "time_ids": jnp.zeros((1, 6))}
-    template = jax.eval_shape(
-        lambda k: unet.init(
-            k, jnp.zeros((1, 64, 64, spec.in_channels)), jnp.zeros((1,), jnp.int32),
-            jnp.zeros((1, 77, spec.cross_attention_dim)), added_cond=added,
-        ),
-        jax.random.PRNGKey(0),
-    )["params"]
-    template = jax.tree.map(lambda s: np.zeros(s.shape, np.float32), template)
-    params = mgr.restore(step, {"params": template, "step": 0})["params"]
+    # raw (template-free) restore: trainer checkpoints carry opt_state next
+    # to params, and orbax rejects a params-only template against them
+    params = mgr.restore_raw(step)["params"]
     return spec, unet, params, step
 
 

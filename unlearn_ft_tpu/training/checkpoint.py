@@ -128,6 +128,18 @@ class CheckpointManager:
         template = jax.tree.map(np.asarray, template)
         return self._ckptr.restore(os.path.join(self.path(step), "state"), template)
 
+    def restore_raw(self, step: int) -> Dict[str, Any]:
+        """Restore the checkpoint tree WITHOUT a template (numpy leaves).
+
+        The template `restore` is for resume, where the caller holds the
+        exact live tree. Standalone loaders (eval/export CLIs) only know the
+        sub-tree they want — orbax's templated restore REJECTS a partial
+        template against a trainer checkpoint that also carries opt_state
+        (surfaced r5: export of a real on-chip fine-tune checkpoint), so
+        they take the raw tree and pick out what they need."""
+        self.wait()
+        return self._ckptr.restore(os.path.join(self.path(step), "state"))
+
     def load_arch_vector(self, step: int) -> Optional[np.ndarray]:
         p = os.path.join(self.path(step), "arch_vector.npy")
         return np.load(p) if os.path.exists(p) else None
