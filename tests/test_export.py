@@ -124,6 +124,43 @@ def test_exported_pruned_expert_matches_torch_mirror():
     np.testing.assert_allclose(np.asarray(got), want, atol=1e-4)
 
 
+def test_exported_depth_pruned_expert_matches_torch_mirror():
+    """Golden forward for a DEPTH+WIDTH pruned expert (the real APTP case):
+    the exported state dict + the mirror's dropped-module semantics
+    (Identity pass-through, up-block concat-skip discard — the reference's
+    prune() behavior, blocks.py:502-510,651-663) reproduce the Flax
+    materialized forward."""
+    cfg = _tiny_cfg()
+    spec = build_unet_spec(cfg)
+    layout = gate_layout_for_config(cfg)
+    params = convert_unet(synth_unet_state_dict(spec, seed=8), spec)
+    av = np.asarray(layout.random_arch_vector(0.5, seed=9), np.float32)
+    av[:, layout.num_width:] = 0.0  # drop every depth-prunable module
+    pspec, pparams = materialize_pruned(spec, layout, params, av)
+    assert any(m.dropped for b in pspec.blocks for m in b.resnets + b.transformers)
+    sd_p = export_unet(pspec, pparams)
+
+    rng = np.random.default_rng(13)
+    b, lat = 2, cfg.sample_size
+    sample = rng.standard_normal((b, lat, lat, cfg.in_channels)).astype(np.float32)
+    context = rng.standard_normal((b, 5, cfg.cross_attention_dim)).astype(np.float32)
+    timesteps = np.array([11.0, 503.0], np.float32)
+
+    want = torch_unet_forward(
+        {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd_p.items()},
+        pspec,
+        torch.from_numpy(sample.transpose(0, 3, 1, 2)),
+        torch.from_numpy(timesteps),
+        torch.from_numpy(context),
+    ).numpy().transpose(0, 2, 3, 1)
+
+    got = UNet2DConditionModel(pspec, dtype=jnp.float32).apply(
+        {"params": pparams}, jnp.asarray(sample), jnp.asarray(timesteps),
+        jnp.asarray(context),
+    )
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-4)
+
+
 @pytest.mark.fast
 def test_export_dropped_modules_keep_original_indices():
     """Depth-dropped modules export no keys; survivors keep their original

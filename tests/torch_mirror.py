@@ -164,6 +164,14 @@ def torch_timestep_embedding(t, dim, flip_sin_to_cos=True, shift=0.0):
 
 
 def _resnet(sd, p, x, temb, rspec):
+    if rspec.dropped:
+        # the reference's prune() swaps a depth-dropped resnet for
+        # parameterless Identities (blocks.py:651-663); up-block variants
+        # discard the concat skip tail and pass the hidden part through
+        # (blocks.py:502-510). NCHW: concat is [hidden, skip] on dim 1.
+        if rspec.is_input_concatenated and rspec.skip_channels:
+            return x[:, : x.shape[1] - rspec.skip_channels]
+        return x
     h = F.silu(_gn(sd, p + ".norm1", x, rspec.norm1_groups, rspec.eps))
     h = _cv(sd, p + ".conv1", h)
     t = _lin(sd, p + ".time_emb_proj", F.silu(temb))
@@ -190,6 +198,8 @@ def _attention(sd, p, x, ctx, heads):
 
 
 def _transformer(sd, p, x, ctx, tspec):
+    if tspec.dropped:  # depth-dropped Transformer2D -> Identity (blocks.py:1324-1336)
+        return x
     b, c, hh, ww = x.shape
     residual = x
     inner = tspec.in_channels
