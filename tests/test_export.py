@@ -206,6 +206,52 @@ def test_export_dropped_modules_keep_original_indices():
         assert any(k.startswith(pfx) for k in sd), pfx
 
 
+def test_exported_sdxl_pruned_expert_matches_torch_mirror():
+    """Exported SDXL pruned expert (text_time added_cond, multi-layer
+    transformers with per-layer pruned heads/FF) golden vs the mirror."""
+    pooled_dim, add_t_dim = 16, 8
+    cfg = _tiny_cfg(
+        down_block_types=("DownBlock2DHalfGated", "CrossAttnDownBlock2DHalfGated"),
+        up_block_types=("CrossAttnUpBlock2DHalfGated", "UpBlock2DHalfGated"),
+        addition_embed_type="text_time",
+        addition_time_embed_dim=add_t_dim,
+        projection_class_embeddings_input_dim=pooled_dim + 6 * add_t_dim,
+    )
+    spec = build_unet_spec(cfg)
+    layout = gate_layout_for_config(cfg)
+    params = convert_unet(synth_unet_state_dict(spec, seed=10), spec)
+    pspec, pparams = materialize_pruned(
+        spec, layout, params, _width_only_arch_vector(layout, seed=11)
+    )
+    sd_p = export_unet(pspec, pparams)
+    assert "add_embedding.linear_1.weight" in sd_p
+
+    rng = np.random.default_rng(17)
+    b, lat = 2, cfg.sample_size
+    sample = rng.standard_normal((b, lat, lat, cfg.in_channels)).astype(np.float32)
+    context = rng.standard_normal((b, 5, cfg.cross_attention_dim)).astype(np.float32)
+    timesteps = np.array([7.0, 850.0], np.float32)
+    added = {
+        "text_embeds": rng.standard_normal((b, pooled_dim)).astype(np.float32),
+        "time_ids": np.tile(np.array([64, 64, 0, 0, 64, 64], np.float32)[None], (b, 1)),
+    }
+
+    want = torch_unet_forward(
+        {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd_p.items()},
+        pspec,
+        torch.from_numpy(sample.transpose(0, 3, 1, 2)),
+        torch.from_numpy(timesteps),
+        torch.from_numpy(context),
+        added_cond={k: torch.from_numpy(v) for k, v in added.items()},
+    ).numpy().transpose(0, 2, 3, 1)
+
+    got = UNet2DConditionModel(pspec, dtype=jnp.float32).apply(
+        {"params": pparams}, jnp.asarray(sample), jnp.asarray(timesteps),
+        jnp.asarray(context), added_cond={k: jnp.asarray(v) for k, v in added.items()},
+    )
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-4)
+
+
 @pytest.mark.fast
 def test_export_hypernet_golden_torch():
     """Exported hypernet state dict drives a plain-torch replica of the
